@@ -1,0 +1,87 @@
+"""Typed run configuration.
+
+Capability parity with the reference ``RunConfig``
+(/root/reference/src/torch_m3gnet/config.py:6-32) plus TPU-specific knobs
+(bucketing, mesh, precision) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+
+@dataclass(frozen=True)
+class M3GNetConfig:
+    """Single flat config for model, data, and training.
+
+    Defaults follow the reference defaults (cutoff=5.0, threebody_cutoff=4.0,
+    l_max=3, n_max=3, num_types=95, embedding_dim=64, num_blocks=3, ...).
+    """
+
+    # Where run artifacts (cache, checkpoints, logs) live.
+    root: str = "."
+
+    # --- featurization ---
+    cutoff: float = 5.0
+    threebody_cutoff: float = 4.0
+
+    # --- model ---
+    l_max: int = 3
+    n_max: int = 3
+    num_types: int = 95
+    embedding_dim: int = 64
+    num_blocks: int = 3
+
+    # --- training ---
+    max_epochs: int = 1000
+    learning_rate: float = 1e-3
+    decay_steps: int = 200
+    decay_alpha: float = 1e-2
+    batch_size: int = 32
+    accumulate_grad_batches: int = 1
+    val_ratio: float = 0.1
+    test_ratio: float = 0.1
+    early_stopping_patience: int = 200
+    energy_weight: float = 1.0
+    force_weight: float = 1.0
+    stress_weight: float = 0.1
+    seed: int = 0
+
+    # --- TPU-specific (no reference counterpart) ---
+    # Padded bucket sizes per batch; ``None`` means auto-derived from data.
+    max_nodes: int | None = None
+    max_edges: int | None = None
+    max_triplets: int | None = None
+    # Round padded sizes up to a multiple of this (MXU/VPU lane friendliness).
+    pad_multiple: int = 128
+    # Matmul/accumulation dtypes: "float32" (parity) or "bfloat16" (speed).
+    compute_dtype: str = "float32"
+    # Data-parallel axis size; 1 = single chip.
+    num_devices: int = 1
+    # Use Pallas segment kernels on TPU ("auto"|"on"|"off").
+    pallas_segment: str = "auto"
+
+    def replace(self, **kwargs: Any) -> "M3GNetConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "M3GNetConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - names
+        if unknown:
+            raise ValueError(f"Unknown config keys: {sorted(unknown)}")
+        return cls(**dict(d))
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides: Any) -> "M3GNetConfig":
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        d.update(overrides)
+        return cls.from_dict(d)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
