@@ -7,12 +7,19 @@ Must set env before the first jax import anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: do NOT set JAX_PLATFORMS=cpu here — the axon TPU plugin in this image
+# fights the override and the first computation deadlocks. Instead we keep the
+# default platform list and pin the *default device* to CPU after import;
+# sharding tests build their Mesh from jax.devices("cpu") explicitly.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import numpy as np
 import pytest

@@ -1,0 +1,19 @@
+from torch_m3gnet_tpu.ops.basis import (
+    cutoff_poly,
+    legendre_cos_all,
+    normalized_spherical_bessel,
+    smooth_radial_basis,
+    spherical_bessel_all,
+    spherical_bessel_zeros,
+)
+from torch_m3gnet_tpu.ops.segment import segment_sum
+
+__all__ = [
+    "cutoff_poly",
+    "legendre_cos_all",
+    "normalized_spherical_bessel",
+    "smooth_radial_basis",
+    "spherical_bessel_all",
+    "spherical_bessel_zeros",
+    "segment_sum",
+]

@@ -1,0 +1,187 @@
+"""Radial/angular basis functions as pure, differentiable jnp code.
+
+Capability parity with the reference's basis stack, re-expressed for XLA:
+
+- smooth radial basis: the Kocer two-sinc + Gram-Schmidt recursion of
+  ``EdgeFeaturizer`` (/root/reference/src/torch_m3gnet/nn/featurizer.py:61-100);
+- spherical Bessel j_l via upward recurrence with small-z guards, replacing the
+  hand-written ``torch.autograd.Function``
+  (/root/reference/src/torch_m3gnet/nn/interaction.py:284-350) — here plain jnp
+  with grad-safe ``where`` guards, so ``jax.grad`` (including grad-of-grad for
+  force training) needs no custom rules;
+- Legendre P_l(cos) Bonnet recursion (interaction.py:353-382), likewise plain jnp;
+- normalized spherical Bessel chi_ln (interaction.py:226-281);
+- smooth polynomial cutoff (interaction.py:389-400);
+- spherical Bessel zeros regenerated numerically at first use via interlaced
+  root bracketing (parity with scripts/search_spherical_bessel_zeros.py:9-26)
+  instead of a hard-coded table.
+
+All ``l_max`` / ``n_max`` are static Python ints (3 by default), so the tiny
+recurrences unroll at trace time into fused elementwise XLA ops.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-8
+
+
+@lru_cache(maxsize=None)
+def spherical_bessel_zeros(l_max: int, n_max: int) -> np.ndarray:
+    """First ``n_max`` positive roots of j_l for l = 0..l_max-1.
+
+    Uses the interlacing property: roots of j_l strictly separate roots of
+    j_{l+1}, so each root of j_{l+1} is bracketed by consecutive roots of j_l.
+    """
+    from scipy.optimize import brentq
+    from scipy.special import spherical_jn
+
+    # Roots of j_0 are exactly n*pi; each recurrence row loses one usable
+    # bracket, so start with l_max extras.
+    width = n_max + l_max + 1
+    zeros = np.zeros((l_max, width))
+    zeros[0] = np.arange(1, width + 1) * np.pi
+    valid = width
+    for ell in range(1, l_max):
+        f = lambda z, ell=ell: spherical_jn(ell, z)
+        valid -= 1
+        for k in range(valid):
+            zeros[ell, k] = brentq(f, zeros[ell - 1, k], zeros[ell - 1, k + 1])
+    return np.ascontiguousarray(zeros[:, :n_max])
+
+
+def cutoff_poly(r: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """Smooth C^2 cutoff: 1 - 6u^5 + 15u^4 - 10u^3 for u = r/rc, 0 beyond."""
+    u = r / cutoff
+    val = 1.0 - 6.0 * u**5 + 15.0 * u**4 - 10.0 * u**3
+    return jnp.where(u <= 1.0, val, 0.0)
+
+
+def spherical_bessel_all(z: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """Spherical Bessel j_l(z) for l = 0..l_max-1, stacked on a new axis 0.
+
+    Upward recurrence j_{l+1} = (2l+1)/z * j_l - j_{l-1} for z >= 0.5; below
+    that the recurrence loses ~eps/z^2 per order to cancellation, so a 6-term
+    Taylor series j_l(z) = z^l/(2l+1)!! * sum_k (-z^2/2)^k / (k! (2l+3)...(2l+2k+1))
+    is used instead (accurate to ~1e-14 at the switch point). This is strictly
+    more accurate than the reference's EPS=1e-8 guard (interaction.py:289-323)
+    and keeps all (nested) gradients finite: divisions use guarded denominators.
+    """
+    switch = 0.5
+    small = z <= switch
+    zs = jnp.where(small, 1.0, z)  # grad-safe denominator for the recurrence
+    zt = jnp.where(small, z, 0.0)  # grad-safe argument for the series
+
+    # --- series branch (exact gradients via the polynomial itself) ---
+    def series(ell: int) -> jnp.ndarray:
+        dfact = 1.0
+        for i in range(ell):
+            dfact *= 2 * i + 3  # (2l+1)!!
+        term = jnp.ones_like(zt)
+        acc = term
+        for k in range(1, 6):
+            term = term * (-(zt * zt) / 2.0) / (k * (2 * ell + 2 * k + 1))
+            acc = acc + term
+        return zt**ell / dfact * acc
+
+    # --- recurrence branch ---
+    rec = [jnp.sin(zs) / zs]
+    if l_max > 1:
+        rec.append((jnp.sin(zs) / zs - jnp.cos(zs)) / zs)
+        for n in range(1, l_max - 1):
+            rec.append((2 * n + 1) / zs * rec[n] - rec[n - 1])
+
+    return jnp.stack(
+        [jnp.where(small, series(ell), rec[ell]) for ell in range(l_max)]
+    )
+
+
+def legendre_cos_all(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """Legendre polynomials P_l(x) for l = 0..l_max-1 via Bonnet recursion."""
+    out = [jnp.ones_like(x)]
+    if l_max > 1:
+        out.append(x)
+        for n in range(1, l_max - 1):
+            out.append(((2 * n + 1) * x * out[n] - n * out[n - 1]) / (n + 1))
+    return jnp.stack(out)
+
+
+def normalized_spherical_bessel(
+    r: jnp.ndarray, cutoff: float, l_max: int, n_max: int
+) -> jnp.ndarray:
+    """chi_ln(r) = sqrt(2/rc^3) * j_l(z_ln r/rc) / |j_{l+1}(z_ln)|.
+
+    Returns shape (l_max, n_max, *r.shape). Normalization constants are
+    host-side numpy, constant-folded into the jitted graph.
+    """
+    zeros = spherical_bessel_zeros(l_max + 1, n_max)  # (l_max+1, n_max)
+    # |j_{l+1}(z_ln)| at the l-th order roots
+    from scipy.special import spherical_jn
+
+    norm = np.stack(
+        [
+            math.sqrt(2.0 / cutoff**3) / np.abs(spherical_jn(ell + 1, zeros[ell]))
+            for ell in range(l_max)
+        ]
+    )  # (l_max, n_max)
+
+    # j_l evaluated at z_ln * r / rc for every (l, n): evaluate per order.
+    chis = []
+    for ell in range(l_max):
+        z = zeros[ell][(...,) + (None,) * r.ndim] * r[None] / cutoff  # (n_max, *r)
+        j = spherical_bessel_all(z.reshape(n_max, -1), ell + 1)[ell]
+        chis.append(j.reshape((n_max,) + r.shape) * norm[ell][(...,) + (None,) * r.ndim])
+    return jnp.stack(chis)  # (l_max, n_max, *r)
+
+
+def smooth_radial_basis(r: jnp.ndarray, n_max: int, cutoff: float) -> jnp.ndarray:
+    """Kocer-style smooth radial basis h_m(r), m = 0..n_max-1.
+
+    f_m(r) = c_m * (sinc((m+1) pi r / rc) + sinc((m+2) pi r / rc))
+    where sinc is the *normalized* sinc sin(pi x)/(pi x) applied to the already
+    pi-scaled argument — reproducing the reference's ``torch.sinc`` usage
+    exactly (featurizer.py:86-89) for activation parity,
+    h_m    = (f_m + sqrt(e_m / d_{m-1}) h_{m-1}) / sqrt(d_m)
+    with e_m = m^2 (m+2)^2 / (4 (m+1)^4 + 1), d_0 = 1, d_m = 1 - e_m / d_{m-1},
+    c_m = (-1)^m sqrt(2) pi / rc^1.5 * (m+1)(m+2) / sqrt((m+1)^2 + (m+2)^2).
+
+    Returns shape (*r.shape, n_max). Math spec:
+    /root/reference/docs/architecture.md:69-89.
+    """
+    m = np.arange(n_max, dtype=np.float64)
+    em = (m**2) * ((m + 2) ** 2) / (4 * ((m + 1) ** 4) + 1)
+    dm = np.ones(n_max)
+    for i in range(1, n_max):
+        dm[i] = 1 - em[i] / dm[i - 1]
+    coeff = (
+        ((-1.0) ** m)
+        * math.sqrt(2.0)
+        * math.pi
+        / cutoff**1.5
+        * (m + 1)
+        * (m + 2)
+        / np.sqrt((m + 1) ** 2 + (m + 2) ** 2)
+    )
+
+    def sinc(x):
+        # normalized sinc: sin(pi x)/(pi x), safe at 0
+        small = jnp.abs(x) <= _EPS
+        xs = jnp.where(small, 1.0, x)
+        return jnp.where(small, 1.0, jnp.sin(jnp.pi * xs) / (jnp.pi * xs))
+
+    hs = []
+    for i in range(n_max):
+        f = coeff[i] * (
+            sinc((i + 1) * math.pi / cutoff * r) + sinc((i + 2) * math.pi / cutoff * r)
+        )
+        if i == 0:
+            h = f
+        else:
+            h = (f + math.sqrt(em[i] / dm[i - 1]) * hs[i - 1]) / math.sqrt(dm[i])
+        hs.append(h)
+    return jnp.stack(hs, axis=-1)
