@@ -1,0 +1,97 @@
+"""Headline benchmark: edges+triplets processed per second per chip.
+
+Workload: full potential evaluation (energy + forces + stress via jax.grad,
+f32, default 227k-param M3GNet) on an MPF-scale padded batch of perturbed
+fcc-Cu supercells, jit-compiled, steady-state timed on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``BASELINE_RATE`` is the round-1 XLA-segment-sum implementation on one v5e
+chip (the reference publishes no numbers — SURVEY.md §6); vs_baseline tracks
+kernel-level speedups across rounds against that fixed point.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 measured rate (edges+triplets)/s, one v5e chip, XLA segment_sum path
+# (36,706 edges + 264,384 triplets in 1.973 ms incl. forces+stress).
+BASELINE_RATE = 152_582_832.7
+
+
+def build_batch(n_graphs: int = 8, n_cells: int = 3, seed: int = 0):
+    from torch_m3gnet_tpu.data.graph import pack_structures
+    from torch_m3gnet_tpu.data.structure import Structure
+
+    rng = np.random.default_rng(seed)
+    a = 3.62
+    base = Structure.from_frac_coords(
+        np.eye(3) * a,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29, 29, 29, 29],
+    ).supercell((n_cells, n_cells, n_cells))
+    structures = [
+        Structure(
+            base.lattice,
+            base.cart_coords + 0.05 * rng.standard_normal(base.cart_coords.shape),
+            base.atomic_numbers,
+        )
+        for _ in range(n_graphs)
+    ]
+    return pack_structures(structures, 5.0, 4.0, pad_multiple=512)
+
+
+def main() -> None:
+    import jax
+
+    from torch_m3gnet_tpu.config import M3GNetConfig
+    from torch_m3gnet_tpu.models import build_model
+
+    batch = build_batch()
+    real_edges = int(np.asarray(batch.edge_mask).sum())
+    real_triplets = int(np.asarray(batch.triplet_mask).sum())
+
+    pot = build_model(M3GNetConfig())
+    params = pot.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def step(params, batch):
+        out = pot.apply(params, batch)
+        return out.energy, out.forces, out.stress
+
+    # compile + warmup
+    e, f, s = step(params, batch)
+    jax.block_until_ready((e, f, s))
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        e, f, s = step(params, batch)
+    jax.block_until_ready((e, f, s))
+    dt = (time.perf_counter() - t0) / iters
+
+    rate = (real_edges + real_triplets) / dt
+    vs = rate / BASELINE_RATE if BASELINE_RATE else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "edges+triplets/sec/chip (fwd+forces+stress, f32)",
+                "value": round(rate, 1),
+                "unit": "items/s",
+                "vs_baseline": round(vs, 3),
+                "detail": {
+                    "edges": real_edges,
+                    "triplets": real_triplets,
+                    "step_ms": round(dt * 1e3, 3),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Dataset: cached graph construction + bucketed static-shape batching.
+
+Replaces the reference's PyG ``InMemoryDataset`` wrapper
+(/root/reference/src/torch_m3gnet/data/dataset.py:18-91): content-addressed
+on-disk cache keyed by (cutoff, threebody_cutoff) like dataset.py:59-65,
+multi-process graph construction like the joblib pool at dataset.py:78-81, and
+— new here, required for XLA — bucketed padding so every batch compiles to one
+of a small fixed set of shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from concurrent.futures import ProcessPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from torch_m3gnet_tpu.data.graph import (
+    GraphBatch,
+    batch_graphs,
+    graph_from_structure,
+    pad_batch,
+    round_up,
+)
+from torch_m3gnet_tpu.data.structure import Structure
+
+
+def _build_one(args) -> GraphBatch:
+    structure, cutoff, threebody_cutoff = args
+    return graph_from_structure(structure, cutoff, threebody_cutoff)
+
+
+class GraphDataset:
+    """In-memory list of unpadded graphs with a disk cache."""
+
+    def __init__(
+        self,
+        structures: Sequence[Structure],
+        cutoff: float,
+        threebody_cutoff: float,
+        cache_dir: Optional[str] = None,
+        num_workers: int = 0,
+        name: str = "dataset",
+    ):
+        self.cutoff = cutoff
+        self.threebody_cutoff = threebody_cutoff
+        key = hashlib.sha1(
+            f"{name}:{len(structures)}:{cutoff}:{threebody_cutoff}".encode()
+        ).hexdigest()[:8]
+        cache_path = (
+            os.path.join(cache_dir, f"graphs_{name}_{key}.pkl") if cache_dir else None
+        )
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                self.graphs: list[GraphBatch] = pickle.load(f)
+            return
+
+        jobs = [(s, cutoff, threebody_cutoff) for s in structures]
+        if num_workers > 1:
+            with ProcessPoolExecutor(max_workers=num_workers) as ex:
+                self.graphs = list(ex.map(_build_one, jobs, chunksize=16))
+        else:
+            self.graphs = [_build_one(j) for j in jobs]
+
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump(self.graphs, f)
+
+    def __len__(self) -> int:
+        return len(self.graphs)
+
+    def __getitem__(self, i: int) -> GraphBatch:
+        return self.graphs[i]
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """Static padded sizes for one batch shape (one XLA compilation)."""
+
+    max_nodes: int
+    max_edges: int
+    max_triplets: int
+    max_graphs: int
+
+    @classmethod
+    def for_batches(
+        cls,
+        graphs: Sequence[GraphBatch],
+        batch_size: int,
+        pad_multiple: int = 128,
+        safety: float = 1.0,
+    ) -> "BucketSpec":
+        """Worst-case bucket: sum of the ``batch_size`` largest graphs.
+
+        Guarantees any shuffled batch fits (no recompiles, no drops) at the
+        cost of some padding; tighten with ``safety`` < 1 only with a fallback.
+        """
+        k = min(batch_size, len(graphs))
+        nodes = sorted((g.num_nodes for g in graphs), reverse=True)[:k]
+        edges = sorted((g.num_edges for g in graphs), reverse=True)[:k]
+        trips = sorted((g.num_triplets for g in graphs), reverse=True)[:k]
+        return cls(
+            max_nodes=round_up(int(sum(nodes) * safety) + 1, pad_multiple),
+            max_edges=round_up(int(sum(edges) * safety) + 1, pad_multiple),
+            max_triplets=round_up(int(sum(trips) * safety) + 1, pad_multiple),
+            max_graphs=batch_size,
+        )
+
+
+def batch_iterator(
+    graphs: Sequence[GraphBatch],
+    batch_size: int,
+    bucket: BucketSpec,
+    rng: Optional[np.random.Generator] = None,
+    drop_last: bool = False,
+) -> Iterator[GraphBatch]:
+    """Yield shuffled, padded batches with static shapes.
+
+    The final short batch is padded with empty graphs up to ``max_graphs`` so
+    every batch has identical shapes (single compilation).
+    """
+    order = np.arange(len(graphs))
+    if rng is not None:
+        rng.shuffle(order)
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        if len(idx) < batch_size and drop_last:
+            return
+        cat = batch_graphs([graphs[i] for i in idx])
+        yield pad_batch(
+            cat, bucket.max_nodes, bucket.max_edges, bucket.max_triplets, bucket.max_graphs
+        )
+
+
+def split_dataset(
+    n: int, val_ratio: float, test_ratio: float, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Random index split (train, val, test)."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_val = int(n * val_ratio)
+    n_test = int(n * test_ratio)
+    return order[n_val + n_test :], order[:n_val], order[n_val : n_val + n_test]

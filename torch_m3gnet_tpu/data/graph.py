@@ -86,6 +86,7 @@ def graph_from_structure(
     structure: Structure,
     cutoff: float,
     threebody_cutoff: float,
+    dtype=np.float32,
 ) -> GraphBatch:
     """Build a single (unpadded) graph from a crystal structure.
 
@@ -108,25 +109,25 @@ def graph_from_structure(
     stress = props.get("stress")
 
     return GraphBatch(
-        positions=structure.cart_coords.astype(np.float32),
+        positions=structure.cart_coords.astype(dtype),
         atom_types=(structure.atomic_numbers - 1).astype(np.int32),
         node_graph=np.zeros(n, dtype=np.int32),
         node_mask=np.ones(n, dtype=bool),
         edge_src=edge_index[0].astype(np.int32),
         edge_dst=edge_index[1].astype(np.int32),
-        edge_cell_shift=shift.astype(np.float32),
+        edge_cell_shift=shift.astype(dtype),
         edge_mask=np.ones(edge_index.shape[1], dtype=bool),
         triplet_e1=tei[0].astype(np.int32),
         triplet_e2=tei[1].astype(np.int32),
         triplet_mask=np.ones(tei.shape[1], dtype=bool),
-        lattice=structure.lattice.astype(np.float32)[None],
+        lattice=structure.lattice.astype(dtype)[None],
         graph_mask=np.ones(1, dtype=bool),
         n_node=np.array([n], dtype=np.int32),
-        energy=None if energy is None else np.asarray([energy], dtype=np.float32),
-        forces=None if forces is None else np.asarray(forces, dtype=np.float32),
+        energy=None if energy is None else np.asarray([energy], dtype=dtype),
+        forces=None if forces is None else np.asarray(forces, dtype=dtype),
         stress=None
         if stress is None
-        else np.asarray(stress, dtype=np.float32).reshape(1, 6),
+        else np.asarray(stress, dtype=dtype).reshape(1, 6),
         num_graphs_real=1,
     )
 
@@ -189,6 +190,37 @@ def batch_graphs(graphs: Sequence[GraphBatch]) -> GraphBatch:
     return GraphBatch(
         **{k: v for k, v in cat.items()},
         num_graphs_real=sum(g.num_graphs_real for g in graphs),
+    )
+
+
+def cast_batch(batch: GraphBatch, dtype) -> GraphBatch:
+    """Cast the floating-point fields of a batch (e.g. to f64 for FD tests)."""
+    import numpy as _np
+
+    def cast(a):
+        if a is not None and _np.issubdtype(_np.asarray(a).dtype, _np.floating):
+            return _np.asarray(a, dtype=dtype)
+        return a
+
+    return GraphBatch(
+        positions=cast(batch.positions),
+        atom_types=batch.atom_types,
+        node_graph=batch.node_graph,
+        node_mask=batch.node_mask,
+        edge_src=batch.edge_src,
+        edge_dst=batch.edge_dst,
+        edge_cell_shift=cast(batch.edge_cell_shift),
+        edge_mask=batch.edge_mask,
+        triplet_e1=batch.triplet_e1,
+        triplet_e2=batch.triplet_e2,
+        triplet_mask=batch.triplet_mask,
+        lattice=cast(batch.lattice),
+        graph_mask=batch.graph_mask,
+        n_node=batch.n_node,
+        energy=cast(batch.energy),
+        forces=cast(batch.forces),
+        stress=cast(batch.stress),
+        num_graphs_real=batch.num_graphs_real,
     )
 
 
@@ -256,9 +288,10 @@ def pack_structures(
     max_triplets: int | None = None,
     max_graphs: int | None = None,
     pad_multiple: int = 128,
+    dtype=np.float32,
 ) -> GraphBatch:
     """Structures -> graphs -> concatenated -> padded batch in one call."""
-    graphs = [graph_from_structure(s, cutoff, threebody_cutoff) for s in structures]
+    graphs = [graph_from_structure(s, cutoff, threebody_cutoff, dtype=dtype) for s in structures]
     cat = batch_graphs(graphs)
     return pad_batch(
         cat,

@@ -1,0 +1,9 @@
+from torch_m3gnet_tpu.models.layers import GatedMLP
+from torch_m3gnet_tpu.models.m3gnet import (
+    M3GNet,
+    M3GNetPotential,
+    PotentialOutput,
+    build_model,
+)
+
+__all__ = ["GatedMLP", "M3GNet", "M3GNetPotential", "PotentialOutput", "build_model"]

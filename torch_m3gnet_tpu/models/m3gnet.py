@@ -1,0 +1,291 @@
+"""The M3GNet potential as a pure functional JAX model.
+
+Capability parity with the reference pipeline assembled in
+/root/reference/src/torch_m3gnet/model/build.py:16-83
+(ScaleLength -> AtomRef -> DistanceAndAngle -> AtomFeaturizer -> EdgeFeaturizer
+-> EdgeAdjustor -> (ThreeBodyInteraction -> M3GNetConv) x num_blocks ->
+AtomWiseReadout -> Gradient), re-designed TPU-first:
+
+- one jit-compiled pure function over a padded :class:`GraphBatch` pytree —
+  no per-layer graph mutation, all shapes static;
+- every aggregation is a masked ``segment_sum`` (Pallas-capable);
+- forces/stress come from ``jax.grad`` of the energy inside the same jitted
+  computation (replacing the ``Gradient`` wrapper's
+  ``torch.autograd.grad(create_graph=True)``,
+  /root/reference/src/torch_m3gnet/nn/gradient.py:25-64);
+- feature layout is row-major (entities, features) so the feature axis maps to
+  TPU lanes and the big matmuls hit the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_m3gnet_tpu.data.graph import GraphBatch
+from torch_m3gnet_tpu.models.layers import GatedMLP
+from torch_m3gnet_tpu.ops.basis import (
+    cutoff_poly,
+    legendre_cos_all,
+    normalized_spherical_bessel,
+    smooth_radial_basis,
+)
+from torch_m3gnet_tpu.ops.segment import segment_sum
+
+
+@flax.struct.dataclass
+class PotentialOutput:
+    """Energies/forces/stresses for a batch (padded entries zeroed)."""
+
+    energy: jnp.ndarray  # (B,) total energy, eV
+    forces: jnp.ndarray  # (N, 3) eV/Angstrom
+    stress: jnp.ndarray  # (B, 6) Voigt [xx, yy, zz, yz, zx, xy], eV/A^3
+    energy_per_atom: jnp.ndarray  # (B,) eV/atom
+    atomic_energy: jnp.ndarray  # (N,) eV
+
+
+def _gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(x, idx, axis=0)
+
+
+class M3GNet(nn.Module):
+    """Energy model: GraphBatch (+ positions) -> per-graph total energy.
+
+    Positions are passed separately from the batch so force computation can
+    differentiate with respect to them directly.
+    """
+
+    cutoff: float = 5.0
+    threebody_cutoff: float = 4.0
+    l_max: int = 3
+    n_max: int = 3
+    num_types: int = 95
+    embedding_dim: int = 64
+    num_blocks: int = 3
+    # Fixed (non-trainable) per-species reference energies and scales,
+    # mirroring AtomRef + energy/length scaling (build.py:30-36, readout.py:46-56).
+    elemental_energies: tuple = ()
+    energy_scale: float = 1.0
+    length_scale: float = 1.0
+
+    @nn.compact
+    def __call__(
+        self,
+        graph: GraphBatch,
+        positions: jnp.ndarray,
+        lattice: Optional[jnp.ndarray] = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        dtype = positions.dtype
+        d = self.embedding_dim
+        ln = self.l_max * self.n_max
+        rc = self.cutoff / self.length_scale
+        rc3 = self.threebody_cutoff / self.length_scale
+
+        node_mask = graph.node_mask.astype(dtype)  # (N,)
+        edge_mask = graph.edge_mask.astype(dtype)  # (E,)
+        trip_mask = graph.triplet_mask.astype(dtype)  # (T,)
+        graph_mask = graph.graph_mask.astype(dtype)  # (B,)
+
+        # --- geometry (invariant.py:20-59) -------------------------------
+        pos = positions / self.length_scale
+        if lattice is None:
+            lattice = jnp.asarray(graph.lattice, dtype=dtype)
+        lattice = lattice.astype(dtype) / self.length_scale
+        edge_graph = _gather(graph.node_graph, graph.edge_src)  # (E,)
+        lat_e = _gather(lattice, edge_graph)  # (E, 3, 3)
+        shift_vec = jnp.einsum("ep,epq->eq", graph.edge_cell_shift.astype(dtype), lat_e)
+        r_vec = _gather(pos, graph.edge_dst) + shift_vec - _gather(pos, graph.edge_src)
+        # Grad-safe masked norm: padded edges get distance rc (not 0).
+        sq = jnp.sum(r_vec * r_vec, axis=-1)
+        sq_safe = jnp.where(graph.edge_mask, sq, 1.0)
+        dist = jnp.where(graph.edge_mask, jnp.sqrt(sq_safe), rc)  # (E,)
+
+        vij = _gather(r_vec, graph.triplet_e1)  # (T, 3)
+        vik = _gather(r_vec, graph.triplet_e2)
+        rij = _gather(dist, graph.triplet_e1)  # (T,)
+        rik = _gather(dist, graph.triplet_e2)
+        cos_jik = jnp.sum(vij * vik, axis=-1) / (rij * rik)
+        cos_jik = jnp.clip(cos_jik, -1.0, 1.0)  # (invariant.py:40)
+
+        # --- featurization ------------------------------------------------
+        # AtomFeaturizer (featurizer.py:11-38): one-hot @ W == embedding table.
+        embed = nn.Embed(self.num_types, d, name="atom_embed", dtype=dtype)
+        v = embed(graph.atom_types)  # (N, D)
+
+        # EdgeFeaturizer (featurizer.py:41-100): smooth radial basis.
+        edge_weights = smooth_radial_basis(dist, self.n_max, rc).astype(dtype)  # (E, n_max)
+
+        # EdgeAdjustor (featurizer.py:103-132).
+        e = nn.silu(
+            nn.Dense(d, use_bias=False, name="edge_init", dtype=dtype)(edge_weights)
+        )  # (E, D)
+
+        # Triplet-constant angular/radial factors (computed once; reference
+        # recomputes identical values in every block, interaction.py:187-202).
+        fc = cutoff_poly(rij, rc3) * cutoff_poly(rik, rc3)  # (T,)
+        sph_norm = np.array(
+            [math.sqrt((2 * ell + 1) / (4.0 * math.pi)) for ell in range(self.l_max)]
+        )
+        sph = legendre_cos_all(cos_jik, self.l_max) * sph_norm[:, None]  # (l, T)
+        chi = normalized_spherical_bessel(rik, rc, self.l_max, self.n_max)  # (l, n, T)
+        # basis product, (T, l*n) row-major with masked padding
+        basis_t = (chi * sph[:, None, :] * fc[None, None, :]).reshape(ln, -1).T
+        basis_t = basis_t * trip_mask[:, None]
+
+        node_k = _gather(graph.edge_dst, graph.triplet_e2)  # (T,) node k of i->k
+
+        # --- interaction blocks ------------------------------------------
+        for b in range(self.num_blocks):
+            # ThreeBodyInteraction (interaction.py:138-223)
+            gate = nn.sigmoid(
+                nn.Dense(ln, name=f"three_gate_{b}", dtype=dtype)(v)
+            )  # (N, l*n)
+            msg = basis_t * _gather(gate, node_k)  # (T, l*n)
+            agg = segment_sum(
+                msg, graph.triplet_e1, num_segments=graph.num_edges
+            )  # (E, l*n)
+            e = e + GatedMLP([d], use_bias=False, name=f"three_mlp_{b}")(agg)
+
+            # M3GNetConv (conv.py:12-97)
+            vi = _gather(v, graph.edge_src)
+            vj = _gather(v, graph.edge_dst)
+            concat = jnp.concatenate([vi, vj, e], axis=-1)  # (E, 3D)
+            e = e + GatedMLP([d, d], name=f"conv_edge_{b}")(concat) * nn.Dense(
+                d, use_bias=False, name=f"conv_edge_w_{b}", dtype=dtype
+            )(edge_weights)
+
+            concat = jnp.concatenate([vi, vj, e], axis=-1)
+            node_msg = GatedMLP([d, d], name=f"conv_node_{b}")(concat) * nn.Dense(
+                d, use_bias=False, name=f"conv_node_w_{b}", dtype=dtype
+            )(edge_weights)
+            node_msg = node_msg * edge_mask[:, None]
+            v = v + segment_sum(
+                node_msg,
+                graph.edge_src,
+                num_segments=graph.num_nodes,
+                indices_are_sorted=True,
+            )
+
+        # --- readout (readout.py:12-58) ----------------------------------
+        atomic = GatedMLP([d, d, 1], is_output=True, name="readout")(v)[:, 0]  # (N,)
+        elem = jnp.asarray(
+            np.asarray(self.elemental_energies, dtype=np.float32)
+            if len(self.elemental_energies)
+            else np.zeros(self.num_types, dtype=np.float32),
+            dtype=dtype,
+        )
+        scaled_atomic = _gather(elem, graph.atom_types) / self.energy_scale + atomic
+        scaled_atomic = scaled_atomic * node_mask
+        scaled_total = segment_sum(
+            scaled_atomic, graph.node_graph, num_segments=graph.num_graphs
+        )
+        total = self.energy_scale * scaled_total * graph_mask  # (B,) eV
+        atomic_ev = self.energy_scale * scaled_atomic  # (N,) eV
+        return total, atomic_ev
+
+
+def _voigt(t: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, 3) -> (B, 6) in the reference's order [xx, yy, zz, yz, zx, xy]
+    (gradient.py:50-58)."""
+    return jnp.stack(
+        [t[:, 0, 0], t[:, 1, 1], t[:, 2, 2], t[:, 1, 2], t[:, 2, 0], t[:, 0, 1]],
+        axis=-1,
+    )
+
+
+class M3GNetPotential:
+    """Energy/forces/stress head: one jax.grad through the energy model.
+
+    Forces = -dE/dpos, parity with the ``Gradient`` wrapper
+    (/root/reference/src/torch_m3gnet/nn/gradient.py:25-64). Stress has two
+    modes:
+
+    - ``"strain"`` (default): sigma = (1/V) dE/d eps for a symmetric strain
+      (1+eps) applied to positions and lattice jointly — the well-defined PBC
+      stress (math: /root/reference/docs/gradient.md strain formulation). The
+      strain gradient shares the single backward pass with forces.
+    - ``"virial"``: the reference's sum_i r_i (x) F_i / V (gradient.py:40-62),
+      kept for activation parity; gauge-dependent under PBC (the reference's
+      own stress finite-difference test is skipped as too noisy).
+
+    Grad-of-grad for force/stress losses comes free from composing jax.grad.
+    """
+
+    def __init__(self, model: M3GNet, stress_mode: str = "strain"):
+        if stress_mode not in ("strain", "virial"):
+            raise ValueError(f"unknown stress_mode: {stress_mode}")
+        self.model = model
+        self.stress_mode = stress_mode
+        self._japply = jax.jit(self._apply)
+
+    def init(self, rng, graph: GraphBatch):
+        return self.model.init(rng, graph, jnp.asarray(graph.positions))
+
+    def apply(self, params, graph: GraphBatch) -> PotentialOutput:
+        """Compiled potential evaluation (cached per padded shape bucket)."""
+        return self._japply(params, graph)
+
+    def _apply(self, params, graph: GraphBatch) -> PotentialOutput:
+        positions = jnp.asarray(graph.positions)
+        lattice = jnp.asarray(graph.lattice, dtype=positions.dtype)
+        nb = graph.num_graphs
+
+        def energy_fn(pos, eps):
+            eps_s = 0.5 * (eps + jnp.swapaxes(eps, -1, -2))  # (B, 3, 3)
+            pos_t = pos + jnp.einsum("na,nab->nb", pos, eps_s[graph.node_graph])
+            lat_t = lattice + jnp.einsum("gia,gab->gib", lattice, eps_s)
+            total, atomic = self.model.apply(params, graph, pos_t, lat_t)
+            return jnp.sum(total), (total, atomic)
+
+        eps0 = jnp.zeros((nb, 3, 3), dtype=positions.dtype)
+        (dpos, deps), (energy, atomic) = jax.grad(
+            energy_fn, argnums=(0, 1), has_aux=True
+        )(positions, eps0)
+
+        forces = -dpos * graph.node_mask.astype(dpos.dtype)[:, None]
+
+        volumes = jnp.abs(
+            jnp.sum(lattice[:, 0] * jnp.cross(lattice[:, 1], lattice[:, 2]), axis=-1)
+        )
+        gmask = graph.graph_mask.astype(forces.dtype)
+        if self.stress_mode == "strain":
+            stress = _voigt(deps) / volumes[:, None] * gmask[:, None]
+        else:
+            outer = positions[:, :, None] * forces[:, None, :]  # (N, 3, 3)
+            per_graph = segment_sum(
+                outer.reshape(-1, 9), graph.node_graph, num_segments=nb
+            ).reshape(-1, 3, 3)
+            stress = _voigt(per_graph) / volumes[:, None] * gmask[:, None]
+
+        n_node = jnp.maximum(jnp.asarray(graph.n_node), 1)
+        return PotentialOutput(
+            energy=energy,
+            forces=forces,
+            stress=stress,
+            energy_per_atom=energy / n_node.astype(energy.dtype),
+            atomic_energy=atomic,
+        )
+
+
+def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
+                length_scale: float = 1.0, stress_mode: str = "strain") -> M3GNetPotential:
+    """Assemble a potential from a config (parity: build.py:16-83)."""
+    model = M3GNet(
+        cutoff=config.cutoff,
+        threebody_cutoff=config.threebody_cutoff,
+        l_max=config.l_max,
+        n_max=config.n_max,
+        num_types=config.num_types,
+        embedding_dim=config.embedding_dim,
+        num_blocks=config.num_blocks,
+        elemental_energies=tuple(elemental_energies or ()),
+        energy_scale=energy_scale,
+        length_scale=length_scale,
+    )
+    return M3GNetPotential(model, stress_mode=stress_mode)

@@ -1,0 +1,284 @@
+"""Training runtime: jitted train/eval steps, epoch loop, early stopping,
+checkpointing, CSV/JSONL logging.
+
+Purpose-built JAX replacement for the reference's PyTorch-Lightning runtime
+(/root/reference/src/torch_m3gnet/model/litmodule.py):
+
+- loss = w_E * MSE(E/atom) + w_F * MSE(F) + w_S * MSE(sigma) with masked means
+  over padding (litmodule.py:123-166);
+- Adam(eps=1e-7) + per-epoch cosine annealing to lr*decay_alpha over
+  decay_steps epochs, exactly torch's CosineAnnealingLR closed form
+  (litmodule.py:168-183);
+- early stopping on val_loss with patience (litmodule.py:280-293);
+- orbax checkpoints of params/opt-state/epoch, resumable (replaces
+  Lightning ckpt_path, litmodule.py:294-299). Avoids the reference's
+  test-loader-uses-train bug (litmodule.py:231-233).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from torch_m3gnet_tpu.config import M3GNetConfig
+from torch_m3gnet_tpu.data.graph import GraphBatch
+from torch_m3gnet_tpu.train.metrics import MetricAccumulator
+
+
+def masked_mse(pred, target, mask):
+    """Mean over unmasked elements; mask broadcasts over trailing dims."""
+    diff = (pred - target) ** 2 * mask
+    denom = jnp.maximum(mask.sum() * (pred.size / mask.size), 1.0)
+    return diff.sum() / denom
+
+
+def masked_mae(pred, target, mask):
+    diff = jnp.abs(pred - target) * mask
+    denom = jnp.maximum(mask.sum() * (pred.size / mask.size), 1.0)
+    return diff.sum() / denom
+
+
+def loss_and_metrics(potential, params, batch: GraphBatch, config: M3GNetConfig):
+    """Weighted E/F/S loss with per-element masked means (litmodule.py:123-166)."""
+    out = potential.apply(params, batch)
+    gmask = jnp.asarray(batch.graph_mask, dtype=out.energy.dtype)
+    nmask = jnp.asarray(batch.node_mask, dtype=out.energy.dtype)[:, None]
+
+    n_node = jnp.maximum(jnp.asarray(batch.n_node), 1).astype(out.energy.dtype)
+    target_epa = jnp.asarray(batch.energy) / n_node
+    pred_epa = out.energy / n_node
+
+    e_loss = masked_mse(pred_epa, target_epa, gmask)
+    e_mae = masked_mae(pred_epa, target_epa, gmask)
+
+    if batch.forces is not None:
+        f_loss = masked_mse(out.forces, jnp.asarray(batch.forces), nmask)
+        f_mae = masked_mae(out.forces, jnp.asarray(batch.forces), nmask)
+    else:
+        f_loss = jnp.zeros(())
+        f_mae = jnp.zeros(())
+
+    if batch.stress is not None:
+        s_loss = masked_mse(out.stress, jnp.asarray(batch.stress), gmask[:, None])
+        s_mae = masked_mae(out.stress, jnp.asarray(batch.stress), gmask[:, None])
+    else:
+        s_loss = jnp.zeros(())
+        s_mae = jnp.zeros(())
+
+    loss = (
+        config.energy_weight * e_loss
+        + config.force_weight * f_loss
+        + config.stress_weight * s_loss
+    )
+    metrics = {
+        "loss": loss,
+        "energy_loss": e_loss,
+        "forces_loss": f_loss,
+        "stresses_loss": s_loss,
+        "energy_rmse": jnp.sqrt(e_loss),
+        "forces_rmse": jnp.sqrt(f_loss),
+        "stresses_rmse": jnp.sqrt(s_loss),
+        "energy_mae": e_mae,
+        "forces_mae": f_mae,
+        "stresses_mae": s_mae,
+    }
+    return loss, metrics
+
+
+def cosine_annealing_lr(
+    epoch: int, lr: float, decay_steps: int, decay_alpha: float
+) -> float:
+    """torch.optim.lr_scheduler.CosineAnnealingLR closed form (per epoch)."""
+    eta_min = lr * decay_alpha
+    return eta_min + (lr - eta_min) * (1 + math.cos(math.pi * epoch / decay_steps)) / 2
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    epoch: int = 0
+    step: int = 0
+
+
+class Trainer:
+    """Epoch-based trainer over padded GraphBatch streams."""
+
+    def __init__(
+        self,
+        potential,
+        config: M3GNetConfig,
+        log_dir: Optional[str] = None,
+    ):
+        self.potential = potential
+        self.config = config
+        self.log_dir = log_dir or os.path.join(config.root, "logs")
+        base = optax.adam(
+            learning_rate=1.0,  # scaled by the injected schedule factor below
+            eps=1e-7,
+        )
+        # inject lr by multiplying updates: use scale_by_adam + scale(-lr)
+        self.opt = optax.chain(
+            optax.scale_by_adam(eps=1e-7),
+            optax.inject_hyperparams(optax.scale)(step_size=-config.learning_rate),
+        )
+        if config.accumulate_grad_batches > 1:
+            self.opt = optax.MultiSteps(self.opt, config.accumulate_grad_batches)
+
+        cfg = config
+
+        def train_step(state: TrainState, batch: GraphBatch, lr: jnp.ndarray):
+            def lf(p):
+                return loss_and_metrics(self.potential, p, batch, cfg)
+
+            (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+            opt_state = self._set_lr(state.opt_state, lr)
+            updates, opt_state = self.opt.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(
+                    params=params,
+                    opt_state=opt_state,
+                    epoch=state.epoch,
+                    step=state.step + 1,
+                ),
+                metrics,
+            )
+
+        def eval_step(params, batch: GraphBatch):
+            _, metrics = loss_and_metrics(self.potential, params, batch, cfg)
+            return metrics
+
+        self.train_step = jax.jit(train_step)
+        self.eval_step = jax.jit(eval_step)
+
+    @staticmethod
+    def _set_lr(opt_state, lr):
+        """Set the injected step size (handles MultiSteps wrapping)."""
+
+        def setter(s):
+            return s
+
+        # opt_state is a chain tuple: (adam_state, InjectHyperparamsState)
+        def replace_inject(state):
+            if hasattr(state, "hyperparams") and "step_size" in state.hyperparams:
+                hp = dict(state.hyperparams)
+                hp["step_size"] = -lr
+                return state._replace(hyperparams=hp)
+            return state
+
+        if hasattr(opt_state, "inner_opt_state"):  # MultiSteps
+            inner = tuple(replace_inject(s) for s in opt_state.inner_opt_state)
+            return opt_state._replace(inner_opt_state=inner)
+        return tuple(replace_inject(s) for s in opt_state)
+
+    def init_state(self, rng, example_batch: GraphBatch) -> TrainState:
+        params = self.potential.init(rng, example_batch)
+        opt_state = self.opt.init(params)
+        return TrainState(params=params, opt_state=opt_state)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Callable[[int], Iterable[GraphBatch]],
+        val_batches: Optional[Callable[[], Iterable[GraphBatch]]] = None,
+        max_epochs: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
+        log_every: int = 1,
+    ) -> TrainState:
+        """Run the training loop.
+
+        Args:
+            train_batches: epoch index -> iterable of padded batches (fresh
+                shuffle each epoch).
+            val_batches: () -> iterable of padded val batches.
+            checkpoint_dir: if set, save best + last checkpoints there.
+        """
+        cfg = self.config
+        max_epochs = max_epochs or cfg.max_epochs
+        os.makedirs(self.log_dir, exist_ok=True)
+        log_path = os.path.join(self.log_dir, "metrics.jsonl")
+        best_val = float("inf")
+        patience_left = cfg.early_stopping_patience
+
+        for epoch in range(int(state.epoch), max_epochs):
+            lr = cosine_annealing_lr(
+                epoch, cfg.learning_rate, cfg.decay_steps, cfg.decay_alpha
+            )
+            t0 = time.time()
+            acc = MetricAccumulator()
+            for batch in train_batches(epoch):
+                state, metrics = self.train_step(state, batch, jnp.asarray(lr))
+                acc.update({k: float(v) for k, v in metrics.items()})
+            train_metrics = acc.compute()
+            state = state.replace(epoch=epoch + 1)
+
+            row = {
+                "epoch": epoch,
+                "lr": lr,
+                "time": time.time() - t0,
+                **{f"train_{k}": v for k, v in train_metrics.items()},
+            }
+
+            if val_batches is not None:
+                vacc = MetricAccumulator()
+                for batch in val_batches():
+                    vacc.update(
+                        {k: float(v) for k, v in self.eval_step(state.params, batch).items()}
+                    )
+                val_metrics = vacc.compute()
+                row.update({f"val_{k}": v for k, v in val_metrics.items()})
+                val_loss = val_metrics["loss"]
+                if val_loss < best_val - 1e-12:
+                    best_val = val_loss
+                    patience_left = cfg.early_stopping_patience
+                    if checkpoint_dir:
+                        self.save_checkpoint(checkpoint_dir, state, tag="best")
+                else:
+                    patience_left -= 1
+
+            if epoch % log_every == 0:
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, state, tag="last")
+
+            if val_batches is not None and patience_left <= 0:
+                break
+
+        return state
+
+    def evaluate(self, params, batches: Iterable[GraphBatch]) -> dict[str, float]:
+        acc = MetricAccumulator()
+        for batch in batches:
+            acc.update({k: float(v) for k, v in self.eval_step(params, batch).items()})
+        return acc.compute()
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, ckpt_dir: str, state: TrainState, tag: str = "last"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, tag))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(
+        self, ckpt_dir: str, example_state: TrainState, tag: str = "last"
+    ) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, tag))
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path, example_state)

@@ -1,0 +1,80 @@
+"""High-level training orchestration (the ``train_model`` equivalent,
+/root/reference/src/torch_m3gnet/model/litmodule.py:195-306):
+
+seed -> split -> elemental-energy fit -> build model -> loop with early
+stopping/checkpoints -> test evaluation. Fixes the reference's bug where the
+test loader silently used the train dataset (litmodule.py:231-233).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from torch_m3gnet_tpu.config import M3GNetConfig
+from torch_m3gnet_tpu.data.dataset import BucketSpec, batch_iterator, split_dataset
+from torch_m3gnet_tpu.data.graph import GraphBatch
+from torch_m3gnet_tpu.models import build_model
+from torch_m3gnet_tpu.train.elemental import fit_elemental_energies
+from torch_m3gnet_tpu.train.loop import Trainer, TrainState
+
+
+def train_model(
+    config: M3GNetConfig,
+    train_graphs: Sequence[GraphBatch],
+    val_graphs: Optional[Sequence[GraphBatch]] = None,
+    test_graphs: Optional[Sequence[GraphBatch]] = None,
+    resume_checkpoint: Optional[str] = None,
+    max_epochs: Optional[int] = None,
+) -> tuple[Trainer, TrainState, dict]:
+    """Train a potential; returns (trainer, final state, test metrics)."""
+    if val_graphs is None:
+        tr_idx, va_idx, _ = split_dataset(
+            len(train_graphs), config.val_ratio, 0.0, config.seed
+        )
+        all_graphs = list(train_graphs)
+        train_graphs = [all_graphs[i] for i in tr_idx]
+        val_graphs = [all_graphs[i] for i in va_idx]
+
+    elemental, scale = fit_elemental_energies(train_graphs, config.num_types)
+    pot = build_model(
+        config, elemental_energies=list(map(float, elemental)), energy_scale=scale
+    )
+
+    trainer = Trainer(pot, config, log_dir=os.path.join(config.root, "logs"))
+    all_for_bucket = list(train_graphs) + list(val_graphs or []) + list(test_graphs or [])
+    bucket = BucketSpec.for_batches(
+        all_for_bucket, config.batch_size, config.pad_multiple
+    )
+
+    rng = np.random.default_rng(config.seed)
+
+    def train_batches(epoch: int):
+        return batch_iterator(train_graphs, config.batch_size, bucket, rng=rng)
+
+    def val_batches():
+        return batch_iterator(val_graphs, config.batch_size, bucket)
+
+    example = next(train_batches(0))
+    state = trainer.init_state(jax.random.PRNGKey(config.seed), example)
+    ckpt_dir = os.path.join(config.root, "checkpoints")
+    if resume_checkpoint:
+        state = trainer.restore_checkpoint(resume_checkpoint, state, tag="last")
+
+    state = trainer.fit(
+        state,
+        train_batches,
+        val_batches if val_graphs else None,
+        max_epochs=max_epochs,
+        checkpoint_dir=ckpt_dir,
+    )
+
+    test_metrics: dict = {}
+    if test_graphs:
+        test_metrics = trainer.evaluate(
+            state.params, batch_iterator(test_graphs, config.batch_size, bucket)
+        )
+    return trainer, state, test_metrics
