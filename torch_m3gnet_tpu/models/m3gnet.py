@@ -175,9 +175,9 @@ class M3GNet(nn.Module):
         # --- readout (readout.py:12-58) ----------------------------------
         atomic = GatedMLP([d, d, 1], is_output=True, name="readout")(v)[:, 0]  # (N,)
         elem = jnp.asarray(
-            np.asarray(self.elemental_energies, dtype=np.float32)
+            np.asarray(self.elemental_energies, dtype=np.float64)
             if len(self.elemental_energies)
-            else np.zeros(self.num_types, dtype=np.float32),
+            else np.zeros(self.num_types),
             dtype=dtype,
         )
         scaled_atomic = _gather(elem, graph.atom_types) / self.energy_scale + atomic
