@@ -39,6 +39,7 @@ def neighbor_list_pbc(
     cart_coords: np.ndarray,
     cutoff: float,
     chunk_size: int = 4_000_000,
+    use_native: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full directed neighbor list under periodic boundary conditions.
 
@@ -57,6 +58,16 @@ def neighbor_list_pbc(
     lattice = np.asarray(lattice, dtype=np.float64)
     pos = np.asarray(cart_coords, dtype=np.float64)
     n = pos.shape[0]
+
+    # The C++ cell-list path is O(N); the vectorized numpy path is O(N^2 * S)
+    # but has lower constant overhead for tiny cells. Auto-switch at 48 atoms.
+    if use_native is None:
+        use_native = n >= 48
+    if use_native:
+        from torch_m3gnet_tpu import native
+
+        if native.native_available():
+            return native.neighbor_list_native(lattice, pos, cutoff)
     if n == 0:
         return (
             np.zeros((2, 0), dtype=np.int64),
