@@ -4,6 +4,7 @@ from torch_m3gnet_tpu.models.m3gnet import (
     M3GNetPotential,
     PotentialOutput,
     build_model,
+    edge_vectors,
 )
 
 __all__ = ["GatedMLP", "M3GNet", "M3GNetPotential", "PotentialOutput", "build_model"]

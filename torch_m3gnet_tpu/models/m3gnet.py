@@ -36,7 +36,7 @@ from torch_m3gnet_tpu.ops.basis import (
     normalized_spherical_bessel,
     smooth_radial_basis,
 )
-from torch_m3gnet_tpu.ops.segment import segment_sum
+from torch_m3gnet_tpu.ops.segment import segment_sum, take
 
 
 @flax.struct.dataclass
@@ -51,14 +51,38 @@ class PotentialOutput:
 
 
 def _gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(x, idx, axis=0)
+    # custom-VJP gather: the cotangent is a segment_sum, not XLA's slow
+    # scatter-add gather transpose (~350x at 1.88M-row scale; ops/segment.py).
+    return take(x, jnp.asarray(idx))
+
+
+def edge_vectors(
+    graph: GraphBatch,
+    positions: jnp.ndarray,
+    lattice: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Pair vectors r_e = pos[dst] + shift @ lattice[graph] - pos[src].
+
+    Geometry lives *outside* the differentiated energy core: the energy depends
+    on atomic positions and the cell only through these edge vectors, so one
+    VJP with respect to them yields both forces and the PBC virial stress
+    (pair-force form, /root/reference/docs/gradient.md:40-84) without
+    backpropagating through gather-heavy coordinate transforms.
+    """
+    dtype = positions.dtype
+    if lattice is None:
+        lattice = jnp.asarray(graph.lattice, dtype=dtype)
+    edge_graph = _gather(jnp.asarray(graph.node_graph), graph.edge_src)
+    lat_e = _gather(lattice.astype(dtype), edge_graph)  # (E, 3, 3)
+    shift_vec = jnp.einsum("ep,epq->eq", jnp.asarray(graph.edge_cell_shift, dtype=dtype), lat_e)
+    return _gather(positions, graph.edge_dst) + shift_vec - _gather(positions, graph.edge_src)
 
 
 class M3GNet(nn.Module):
-    """Energy model: GraphBatch (+ positions) -> per-graph total energy.
+    """Energy model: GraphBatch (+ edge vectors) -> per-graph total energy.
 
-    Positions are passed separately from the batch so force computation can
-    differentiate with respect to them directly.
+    Consumes precomputed edge vectors (see :func:`edge_vectors`) so force and
+    stress computation can differentiate with respect to them directly.
     """
 
     cutoff: float = 5.0
@@ -78,10 +102,9 @@ class M3GNet(nn.Module):
     def __call__(
         self,
         graph: GraphBatch,
-        positions: jnp.ndarray,
-        lattice: Optional[jnp.ndarray] = None,
+        r_vec: jnp.ndarray,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        dtype = positions.dtype
+        dtype = r_vec.dtype
         d = self.embedding_dim
         ln = self.l_max * self.n_max
         rc = self.cutoff / self.length_scale
@@ -93,14 +116,7 @@ class M3GNet(nn.Module):
         graph_mask = graph.graph_mask.astype(dtype)  # (B,)
 
         # --- geometry (invariant.py:20-59) -------------------------------
-        pos = positions / self.length_scale
-        if lattice is None:
-            lattice = jnp.asarray(graph.lattice, dtype=dtype)
-        lattice = lattice.astype(dtype) / self.length_scale
-        edge_graph = _gather(graph.node_graph, graph.edge_src)  # (E,)
-        lat_e = _gather(lattice, edge_graph)  # (E, 3, 3)
-        shift_vec = jnp.einsum("ep,epq->eq", graph.edge_cell_shift.astype(dtype), lat_e)
-        r_vec = _gather(pos, graph.edge_dst) + shift_vec - _gather(pos, graph.edge_src)
+        r_vec = r_vec / self.length_scale
         # Grad-safe masked norm: padded edges get distance rc (not 0).
         sq = jnp.sum(r_vec * r_vec, axis=-1)
         sq_safe = jnp.where(graph.edge_mask, sq, 1.0)
@@ -200,19 +216,21 @@ def _voigt(t: jnp.ndarray) -> jnp.ndarray:
 
 
 class M3GNetPotential:
-    """Energy/forces/stress head: one jax.grad through the energy model.
+    """Energy/forces/stress head from ONE VJP with respect to edge vectors.
 
-    Forces = -dE/dpos, parity with the ``Gradient`` wrapper
-    (/root/reference/src/torch_m3gnet/nn/gradient.py:25-64). Stress has two
-    modes:
+    The energy depends on geometry only through the pair vectors r_e, so with
+    g_e = dE/dr_e from a single backward pass:
 
-    - ``"strain"`` (default): sigma = (1/V) dE/d eps for a symmetric strain
-      (1+eps) applied to positions and lattice jointly — the well-defined PBC
-      stress (math: /root/reference/docs/gradient.md strain formulation). The
-      strain gradient shares the single backward pass with forces.
-    - ``"virial"``: the reference's sum_i r_i (x) F_i / V (gradient.py:40-62),
-      kept for activation parity; gauge-dependent under PBC (the reference's
-      own stress finite-difference test is skipped as too noisy).
+    - forces (parity with the ``Gradient`` wrapper,
+      /root/reference/src/torch_m3gnet/nn/gradient.py:25-64):
+      F_i = -dE/dpos_i = sum_{e: src=e=i} g_e - sum_{e: dst=e=i} g_e
+      (two segment sums);
+    - stress ``"strain"`` mode (default): the PBC virial in pair-force form
+      (math: /root/reference/docs/gradient.md:40-84),
+      sigma V = sym( sum_e r_e (x) g_e ) per graph — identical to the strain
+      derivative dE/d eps for E depending only on pair vectors;
+    - stress ``"virial"`` mode: the reference's gauge-dependent
+      sum_i r_i (x) F_i / V (gradient.py:40-62), kept for parity only.
 
     Grad-of-grad for force/stress losses comes free from composing jax.grad.
     """
@@ -225,7 +243,8 @@ class M3GNetPotential:
         self._japply = jax.jit(self._apply)
 
     def init(self, rng, graph: GraphBatch):
-        return self.model.init(rng, graph, jnp.asarray(graph.positions))
+        positions = jnp.asarray(graph.positions)
+        return self.model.init(rng, graph, edge_vectors(graph, positions))
 
     def apply(self, params, graph: GraphBatch) -> PotentialOutput:
         """Compiled potential evaluation (cached per padded shape bucket)."""
@@ -235,33 +254,38 @@ class M3GNetPotential:
         positions = jnp.asarray(graph.positions)
         lattice = jnp.asarray(graph.lattice, dtype=positions.dtype)
         nb = graph.num_graphs
+        r_vec = edge_vectors(graph, positions, lattice)
 
-        def energy_fn(pos, eps):
-            eps_s = 0.5 * (eps + jnp.swapaxes(eps, -1, -2))  # (B, 3, 3)
-            pos_t = pos + jnp.einsum("na,nab->nb", pos, eps_s[graph.node_graph])
-            lat_t = lattice + jnp.einsum("gia,gab->gib", lattice, eps_s)
-            total, atomic = self.model.apply(params, graph, pos_t, lat_t)
+        def energy_fn(rv):
+            total, atomic = self.model.apply(params, graph, rv)
             return jnp.sum(total), (total, atomic)
 
-        eps0 = jnp.zeros((nb, 3, 3), dtype=positions.dtype)
-        (dpos, deps), (energy, atomic) = jax.grad(
-            energy_fn, argnums=(0, 1), has_aux=True
-        )(positions, eps0)
+        g_r, (energy, atomic) = jax.grad(energy_fn, has_aux=True)(r_vec)  # (E, 3)
 
-        forces = -dpos * graph.node_mask.astype(dpos.dtype)[:, None]
+        nmask = graph.node_mask.astype(g_r.dtype)[:, None]
+        forces = (
+            segment_sum(g_r, graph.edge_src, num_segments=graph.num_nodes,
+                        indices_are_sorted=True)
+            - segment_sum(g_r, graph.edge_dst, num_segments=graph.num_nodes)
+        ) * nmask
 
         volumes = jnp.abs(
             jnp.sum(lattice[:, 0] * jnp.cross(lattice[:, 1], lattice[:, 2]), axis=-1)
         )
-        gmask = graph.graph_mask.astype(forces.dtype)
+        gmask = graph.graph_mask.astype(g_r.dtype)
+        edge_graph = _gather(jnp.asarray(graph.node_graph), graph.edge_src)
         if self.stress_mode == "strain":
-            stress = _voigt(deps) / volumes[:, None] * gmask[:, None]
+            outer = r_vec[:, :, None] * g_r[:, None, :]  # (E, 3, 3)
+            per_graph = segment_sum(
+                outer.reshape(-1, 9), edge_graph, num_segments=nb
+            ).reshape(-1, 3, 3)
+            per_graph = 0.5 * (per_graph + jnp.swapaxes(per_graph, -1, -2))
         else:
             outer = positions[:, :, None] * forces[:, None, :]  # (N, 3, 3)
             per_graph = segment_sum(
                 outer.reshape(-1, 9), graph.node_graph, num_segments=nb
             ).reshape(-1, 3, 3)
-            stress = _voigt(per_graph) / volumes[:, None] * gmask[:, None]
+        stress = _voigt(per_graph) / volumes[:, None] * gmask[:, None]
 
         n_node = jnp.maximum(jnp.asarray(graph.n_node), 1)
         return PotentialOutput(

@@ -55,6 +55,31 @@ def segment_sum(
     )
 
 
+@jax.custom_vjp
+def take(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather with a segment-sum backward.
+
+    JAX's default transpose of gather lowers to an XLA scatter-add that TPU
+    executes ~350x slower than ``segment_sum`` at graph scale (measured:
+    17.4 ms vs 0.05 ms for 1.88M rows); this wrapper swaps the cotangent
+    computation to the fast path. Semantics match ``x[idx]`` for row indices.
+    """
+    return jnp.take(x, idx, axis=0)
+
+
+def _take_fwd(x, idx):
+    return jnp.take(x, idx, axis=0), (idx, x.shape[0])
+
+
+def _take_bwd(res, g):
+    idx, n = res
+    dx = jax.ops.segment_sum(g, idx, num_segments=n)
+    return dx, None
+
+
+take.defvjp(_take_fwd, _take_bwd)
+
+
 def segment_mean(
     data: jnp.ndarray,
     segment_ids: jnp.ndarray,
