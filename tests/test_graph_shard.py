@@ -1,0 +1,77 @@
+"""Graph-parallel (single huge graph across devices) equivalence tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from torch_m3gnet_tpu.config import M3GNetConfig
+from torch_m3gnet_tpu.data.graph import graph_from_structure, pad_batch
+from torch_m3gnet_tpu.data.structure import Structure
+from torch_m3gnet_tpu.models import build_model
+from torch_m3gnet_tpu.parallel.graph_shard import GraphParallelPotential, partition_graph
+
+CONFIG = M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=2)
+
+
+def _big_structure(seed=0):
+    rng = np.random.default_rng(seed)
+    base = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    ).supercell((3, 3, 2))  # 72 atoms
+    return Structure(
+        base.lattice,
+        base.cart_coords + 0.05 * rng.standard_normal(base.cart_coords.shape),
+        base.atomic_numbers,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from jax.sharding import Mesh
+
+    cpus = jax.devices("cpu")
+    return Mesh(np.array(cpus[:4]), ("gp",))
+
+
+def test_partition_preserves_counts():
+    s = _big_structure()
+    g = graph_from_structure(s, 5.0, 4.0)
+    sharded = partition_graph(g, 4)
+    assert int(sharded.edge_mask.sum()) == g.num_edges
+    assert int(sharded.triplet_mask.sum()) == g.num_triplets
+    assert int(sharded.node_mask.sum()) == g.num_nodes
+    # every local src id is within its shard's node range
+    nps = sharded.positions.shape[1]
+    assert (np.asarray(sharded.edge_src) < nps).all()
+    assert (np.asarray(sharded.edge_src) >= 0).all()
+
+
+def test_graph_parallel_matches_single_device(mesh):
+    s = _big_structure()
+    g = graph_from_structure(s, 5.0, 4.0)
+
+    pot = build_model(CONFIG)
+    single = pad_batch(g, g.num_nodes, g.num_edges, g.num_triplets, 1)
+    params = pot.init(jax.random.PRNGKey(0), single)
+    ref = pot.apply(params, single)
+
+    sharded = partition_graph(g, 4)
+    gp = GraphParallelPotential(pot.model, mesh)
+    out = gp.apply(params, sharded)
+
+    # NOTE: both sides must run on the same device type — TPU f32 matmuls
+    # default to bf16 MXU inputs (~4e-3 relative), which is a precision
+    # setting, not an equivalence failure. The conftest pins CPU.
+    np.testing.assert_allclose(
+        float(out.energy[0]), float(ref.energy[0]), rtol=2e-6
+    )
+    n = g.num_nodes
+    np.testing.assert_allclose(
+        np.asarray(out.forces)[:n], np.asarray(ref.forces)[:n], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.stress)[0], np.asarray(ref.stress)[0], atol=2e-6
+    )

@@ -58,6 +58,9 @@ class M3GNetConfig:
     pad_multiple: int = 128
     # Matmul/accumulation dtypes: "float32" (parity) or "bfloat16" (speed).
     compute_dtype: str = "float32"
+    # jax matmul precision for f32 on TPU: "default" lets the MXU ingest bf16
+    # (~4e-3 relative error, fastest), "highest" forces full f32 (f32x3 passes).
+    matmul_precision: str = "default"
     # Data-parallel axis size; 1 = single chip.
     num_devices: int = 1
     # Use Pallas segment kernels on TPU ("auto"|"on"|"off").

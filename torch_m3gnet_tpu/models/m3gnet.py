@@ -97,6 +97,12 @@ class M3GNet(nn.Module):
     elemental_energies: tuple = ()
     energy_scale: float = 1.0
     length_scale: float = 1.0
+    # When set, node features live sharded over this mesh axis (graph
+    # parallelism): node-feature reads through *global* ids (edge_dst, the
+    # triplet k-node) go through an all_gather halo exchange, whose gradient
+    # transposes to an efficient psum_scatter over ICI. Edge sources must be
+    # shard-local ids; see parallel/graph_shard.py.
+    halo_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -109,6 +115,12 @@ class M3GNet(nn.Module):
         ln = self.l_max * self.n_max
         rc = self.cutoff / self.length_scale
         rc3 = self.threebody_cutoff / self.length_scale
+
+        def gather_nodes(x, idx_global):
+            if self.halo_axis is None:
+                return _gather(x, idx_global)
+            x_all = jax.lax.all_gather(x, self.halo_axis, axis=0, tiled=True)
+            return _gather(x_all, idx_global)
 
         node_mask = graph.node_mask.astype(dtype)  # (N,)
         edge_mask = graph.edge_mask.astype(dtype)  # (E,)
@@ -162,7 +174,7 @@ class M3GNet(nn.Module):
             gate = nn.sigmoid(
                 nn.Dense(ln, name=f"three_gate_{b}", dtype=dtype)(v)
             )  # (N, l*n)
-            msg = basis_t * _gather(gate, node_k)  # (T, l*n)
+            msg = basis_t * gather_nodes(gate, node_k)  # (T, l*n)
             agg = segment_sum(
                 msg, graph.triplet_e1, num_segments=graph.num_edges
             )  # (E, l*n)
@@ -170,7 +182,7 @@ class M3GNet(nn.Module):
 
             # M3GNetConv (conv.py:12-97)
             vi = _gather(v, graph.edge_src)
-            vj = _gather(v, graph.edge_dst)
+            vj = gather_nodes(v, graph.edge_dst)
             concat = jnp.concatenate([vi, vj, e], axis=-1)  # (E, 3D)
             e = e + GatedMLP([d, d], name=f"conv_edge_{b}")(concat) * nn.Dense(
                 d, use_bias=False, name=f"conv_edge_w_{b}", dtype=dtype
@@ -235,12 +247,25 @@ class M3GNetPotential:
     Grad-of-grad for force/stress losses comes free from composing jax.grad.
     """
 
-    def __init__(self, model: M3GNet, stress_mode: str = "strain"):
+    def __init__(
+        self,
+        model: M3GNet,
+        stress_mode: str = "strain",
+        matmul_precision: str = "default",
+    ):
         if stress_mode not in ("strain", "virial"):
             raise ValueError(f"unknown stress_mode: {stress_mode}")
         self.model = model
         self.stress_mode = stress_mode
-        self._japply = jax.jit(self._apply)
+        self.matmul_precision = matmul_precision
+
+        def japply(params, graph):
+            # "default" lets TPU f32 matmuls ingest bf16 on the MXU (fast,
+            # ~4e-3 relative); "highest" forces full-f32 (f32x3) passes.
+            with jax.default_matmul_precision(self.matmul_precision):
+                return self._apply(params, graph)
+
+        self._japply = jax.jit(japply)
 
     def init(self, rng, graph: GraphBatch):
         positions = jnp.asarray(graph.positions)
@@ -298,8 +323,11 @@ class M3GNetPotential:
 
 
 def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
-                length_scale: float = 1.0, stress_mode: str = "strain") -> M3GNetPotential:
+                length_scale: float = 1.0, stress_mode: str = "strain",
+                matmul_precision: str | None = None) -> M3GNetPotential:
     """Assemble a potential from a config (parity: build.py:16-83)."""
+    if matmul_precision is None:
+        matmul_precision = getattr(config, "matmul_precision", "default")
     model = M3GNet(
         cutoff=config.cutoff,
         threebody_cutoff=config.threebody_cutoff,
@@ -312,4 +340,6 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         energy_scale=energy_scale,
         length_scale=length_scale,
     )
-    return M3GNetPotential(model, stress_mode=stress_mode)
+    return M3GNetPotential(
+        model, stress_mode=stress_mode, matmul_precision=matmul_precision
+    )
