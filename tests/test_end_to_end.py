@@ -1,0 +1,211 @@
+"""End-to-end workflow tests: dataset files -> CLI training -> relaxation.
+
+Covers the reference's CLI workflows (scripts/load_mlearn_dataset.py) and the
+relaxation capability (scripts/relax_org.py delegates to an external package;
+ours is native) without any network access: a tiny mlearn-format dataset is
+synthesized on the fly.
+"""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from torch_m3gnet_tpu.config import M3GNetConfig
+from torch_m3gnet_tpu.data.graph import graph_from_structure
+from torch_m3gnet_tpu.data.io import load_mlearn_json, parse_cif
+from torch_m3gnet_tpu.data.structure import Structure
+from torch_m3gnet_tpu.models import build_model
+from torch_m3gnet_tpu.simulate import FireConfig, relax_structures
+
+
+def _as_pymatgen_dict(s: Structure) -> dict:
+    syms = {13: "Al", 29: "Cu", 11: "Na"}
+    return {
+        "lattice": {"matrix": s.lattice.tolist()},
+        "sites": [
+            {"abc": list(map(float, f)), "species": [{"element": syms[int(z)]}]}
+            for f, z in zip(s.frac_coords, s.atomic_numbers)
+        ],
+    }
+
+
+def _write_mlearn_dir(tmp_path, n_train=6, n_test=2):
+    rng = np.random.default_rng(0)
+    base = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    )
+
+    def records(n, seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            s = Structure(
+                base.lattice,
+                base.cart_coords + 0.06 * r.standard_normal((4, 3)),
+                base.atomic_numbers,
+            )
+            out.append(
+                {
+                    "structure": _as_pymatgen_dict(s),
+                    "outputs": {
+                        "energy": float(-14.0 + 0.1 * r.standard_normal()),
+                        "forces": (0.1 * r.standard_normal((4, 3))).tolist(),
+                        "virial_stress": (r.standard_normal(6)).tolist(),
+                    },
+                }
+            )
+        return out
+
+    d = tmp_path / "Cu"
+    d.mkdir()
+    (d / "training.json").write_text(json.dumps(records(n_train, 1)))
+    (d / "test.json").write_text(json.dumps(records(n_test, 2)))
+    return d
+
+
+def test_mlearn_loader_roundtrip(tmp_path):
+    d = _write_mlearn_dir(tmp_path)
+    structs = load_mlearn_json(str(d / "training.json"))
+    assert len(structs) == 6
+    s = structs[0]
+    assert len(s) == 4 and (s.atomic_numbers == 29).all()
+    assert s.properties["forces"].shape == (4, 3)
+    # kbar -> eV/A^3 and VASP -> Voigt reorder applied
+    assert s.properties["stress"].shape == (6,)
+
+
+def test_train_mlearn_cli(tmp_path, monkeypatch, capsys):
+    d = _write_mlearn_dir(tmp_path)
+    cfg = {
+        "l_max": 2, "n_max": 2, "embedding_dim": 8, "num_blocks": 1,
+        "batch_size": 4, "max_epochs": 3, "learning_rate": 1e-3,
+        "early_stopping_patience": 100, "stress_weight": 0.0,
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    import yaml
+
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from torch_m3gnet_tpu.cli import train_mlearn
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "train_mlearn",
+            "--path", str(d),
+            "--config", str(cfg_path),
+            "--root", str(tmp_path / "run"),
+            "--max-epochs", "3",
+        ],
+    )
+    train_mlearn.main()
+    out = capsys.readouterr().out
+    result = json.loads(out[out.index("{"):])
+    assert "test" in result and np.isfinite(result["test"]["loss"])
+    # logs + checkpoints written
+    assert (tmp_path / "run" / "logs" / "metrics.jsonl").exists()
+    assert (tmp_path / "run" / "checkpoints").exists()
+    # dataset cache created and reusable
+    assert any((tmp_path / "run" / "cache").iterdir())
+
+
+def test_cif_parser_roundtrip():
+    cif = """
+data_test
+_cell_length_a 4.05
+_cell_length_b 4.05
+_cell_length_c 4.05
+_cell_angle_alpha 90.0
+_cell_angle_beta 90.0
+_cell_angle_gamma 90.0
+loop_
+ _atom_site_type_symbol
+ _atom_site_label
+ _atom_site_occupancy
+ _atom_site_fract_x
+ _atom_site_fract_y
+ _atom_site_fract_z
+ Al Al0 1.0 0.0 0.0 0.0
+ Al Al1 1.0 0.5 0.5 0.0
+ Al Al2 1.0 0.5 0.0 0.5
+ Al Al3 1.0 0.0 0.5 0.5
+"""
+    s = parse_cif(cif)
+    assert len(s) == 4
+    np.testing.assert_allclose(s.lattice, np.eye(3) * 4.05, atol=1e-10)
+    assert (s.atomic_numbers == 13).all()
+
+
+def test_relaxation_reduces_forces():
+    """FIRE on a rattled crystal must reduce the max force under the teacher
+    potential (random weights give an arbitrary but smooth landscape)."""
+    rng = np.random.default_rng(3)
+    base = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    )
+    structures = [
+        Structure(
+            base.lattice,
+            base.cart_coords + 0.15 * rng.standard_normal((4, 3)),
+            base.atomic_numbers,
+        )
+        for _ in range(2)
+    ]
+    cfg = M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=1)
+    pot = build_model(cfg)
+    from torch_m3gnet_tpu.data.graph import pack_structures
+
+    g0 = pack_structures(structures, 4.5, 4.0)
+    params = pot.init(jax.random.PRNGKey(7), g0)
+    out0 = pot.apply(params, g0)
+    fmax0 = float(np.linalg.norm(np.asarray(out0.forces), axis=1).max())
+
+    relaxed, energies, fmax = relax_structures(
+        pot, params, structures, 4.5, 4.0,
+        FireConfig(max_steps=40, rebuild_every=20, fmax=1e-4),
+    )
+    assert np.isfinite(energies).all()
+    assert fmax.max() < fmax0, (fmax, fmax0)
+
+
+def test_train_model_data_parallel(tmp_path):
+    """train_model with num_devices=2 runs the dp path end to end."""
+    rng = np.random.default_rng(0)
+    base = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    )
+    graphs = []
+    for i in range(8):
+        s = Structure(
+            base.lattice,
+            base.cart_coords + 0.05 * rng.standard_normal((4, 3)),
+            base.atomic_numbers,
+        )
+        s.properties.update(
+            energy=-14.0 + 0.05 * rng.standard_normal(),
+            forces=0.05 * rng.standard_normal((4, 3)),
+            stress=0.01 * rng.standard_normal(6),
+        )
+        graphs.append(graph_from_structure(s, 4.5, 4.0))
+
+    from torch_m3gnet_tpu.train.run import train_model
+
+    cfg = M3GNetConfig(
+        l_max=2, n_max=2, embedding_dim=8, num_blocks=1,
+        batch_size=4, num_devices=2, root=str(tmp_path),
+        val_ratio=0.25, early_stopping_patience=100,
+    )
+    trainer, state, metrics = train_model(cfg, graphs, max_epochs=2)
+    assert state.epoch == 2
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()

@@ -137,6 +137,52 @@ def batch_iterator(
         )
 
 
+def sharded_batch_iterator(
+    graphs: Sequence[GraphBatch],
+    per_device_batch: int,
+    n_devices: int,
+    bucket: BucketSpec,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[GraphBatch]:
+    """Yield device-stacked batches for the data-parallel path.
+
+    Each yielded batch has a leading ``n_devices`` axis of identically padded
+    shards (see parallel/dp.py). Trailing graphs that do not fill a full
+    global batch are padded with empty graphs.
+    """
+    from torch_m3gnet_tpu.parallel.dp import shard_stack
+
+    order = np.arange(len(graphs))
+    if rng is not None:
+        rng.shuffle(order)
+    global_bs = per_device_batch * n_devices
+    for start in range(0, len(order), global_bs):
+        idx = order[start : start + global_bs]
+        shards = []
+        for d in range(n_devices):
+            sel = idx[d * per_device_batch : (d + 1) * per_device_batch]
+            cat = batch_graphs([graphs[i] for i in sel]) if len(sel) else batch_graphs(
+                [graphs[order[0]]]
+            )
+            padded = pad_batch(
+                cat,
+                bucket.max_nodes,
+                bucket.max_edges,
+                bucket.max_triplets,
+                bucket.max_graphs,
+            )
+            if len(sel) == 0:
+                # no real graphs for this shard — zero every mask
+                padded = padded.replace(
+                    node_mask=np.zeros_like(np.asarray(padded.node_mask)),
+                    edge_mask=np.zeros_like(np.asarray(padded.edge_mask)),
+                    triplet_mask=np.zeros_like(np.asarray(padded.triplet_mask)),
+                    graph_mask=np.zeros_like(np.asarray(padded.graph_mask)),
+                )
+            shards.append(padded)
+        yield shard_stack(shards)
+
+
 def split_dataset(
     n: int, val_ratio: float, test_ratio: float, seed: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

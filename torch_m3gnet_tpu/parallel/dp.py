@@ -38,6 +38,9 @@ def shard_stack(shards: Sequence[GraphBatch]) -> GraphBatch:
             or s.num_graphs != first.num_graphs
         ):
             raise ValueError("all shards must share identical padded sizes")
+    total_real = sum(s.num_graphs_real for s in shards)
+    # static aux data must match across shards for tree.map; carry the total
+    shards = [s.replace(num_graphs_real=total_real) for s in shards]
     return jax.tree.map(lambda *xs: np.stack(xs), *shards)
 
 

@@ -30,6 +30,15 @@ def make_mesh(
     """
     devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices and platform is None:
+            # fall back to the (possibly virtual) CPU devices — used by tests
+            # and multichip dry runs on single-accelerator hosts
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            if len(cpus) >= n_devices:
+                devices = cpus
         if len(devices) < n_devices:
             raise ValueError(
                 f"need {n_devices} devices, have {len(devices)} "

@@ -46,20 +46,45 @@ def train_model(
 
     trainer = Trainer(pot, config, log_dir=os.path.join(config.root, "logs"))
     all_for_bucket = list(train_graphs) + list(val_graphs or []) + list(test_graphs or [])
-    bucket = BucketSpec.for_batches(
-        all_for_bucket, config.batch_size, config.pad_multiple
-    )
-
     rng = np.random.default_rng(config.seed)
 
-    def train_batches(epoch: int):
-        return batch_iterator(train_graphs, config.batch_size, bucket, rng=rng)
+    n_dev = max(1, config.num_devices)
+    if n_dev > 1:
+        # data-parallel: per-device sub-batches over a dp mesh; the Trainer's
+        # epoch loop is reused with the DataParallel step functions.
+        from torch_m3gnet_tpu.data.dataset import sharded_batch_iterator
+        from torch_m3gnet_tpu.parallel import DataParallel, make_mesh
 
-    def val_batches():
-        return batch_iterator(val_graphs, config.batch_size, bucket)
+        per_dev = max(1, config.batch_size // n_dev)
+        bucket = BucketSpec.for_batches(all_for_bucket, per_dev, config.pad_multiple)
+        mesh = make_mesh(n_dev)
+        dp = DataParallel(pot, config, mesh)
+        trainer.train_step = dp.train_step
+        trainer.eval_step = dp.eval_step
+        trainer.opt = dp.opt
+
+        def train_batches(epoch: int):
+            return sharded_batch_iterator(train_graphs, per_dev, n_dev, bucket, rng=rng)
+
+        def val_batches():
+            return sharded_batch_iterator(val_graphs, per_dev, n_dev, bucket)
+
+    else:
+        bucket = BucketSpec.for_batches(
+            all_for_bucket, config.batch_size, config.pad_multiple
+        )
+
+        def train_batches(epoch: int):
+            return batch_iterator(train_graphs, config.batch_size, bucket, rng=rng)
+
+        def val_batches():
+            return batch_iterator(val_graphs, config.batch_size, bucket)
 
     example = next(train_batches(0))
-    state = trainer.init_state(jax.random.PRNGKey(config.seed), example)
+    if n_dev > 1:
+        state = dp.init_state(jax.random.PRNGKey(config.seed), example)
+    else:
+        state = trainer.init_state(jax.random.PRNGKey(config.seed), example)
     ckpt_dir = os.path.join(config.root, "checkpoints")
     if resume_checkpoint:
         state = trainer.restore_checkpoint(resume_checkpoint, state, tag="last")
@@ -74,7 +99,11 @@ def train_model(
 
     test_metrics: dict = {}
     if test_graphs:
-        test_metrics = trainer.evaluate(
-            state.params, batch_iterator(test_graphs, config.batch_size, bucket)
-        )
+        if n_dev > 1:
+            from torch_m3gnet_tpu.data.dataset import sharded_batch_iterator
+
+            test_iter = sharded_batch_iterator(test_graphs, per_dev, n_dev, bucket)
+        else:
+            test_iter = batch_iterator(test_graphs, config.batch_size, bucket)
+        test_metrics = trainer.evaluate(state.params, test_iter)
     return trainer, state, test_metrics
