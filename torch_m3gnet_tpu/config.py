@@ -61,6 +61,8 @@ class M3GNetConfig:
     # jax matmul precision for f32 on TPU: "default" lets the MXU ingest bf16
     # (~4e-3 relative error, fastest), "highest" forces full f32 (f32x3 passes).
     matmul_precision: str = "default"
+    # Rematerialize the triplet message stage in backward (HBM for recompute).
+    remat_triplets: bool = False
     # Data-parallel axis size; 1 = single chip.
     num_devices: int = 1
     # Use Pallas segment kernels on TPU ("auto"|"on"|"off").

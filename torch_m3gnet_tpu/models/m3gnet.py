@@ -32,8 +32,8 @@ from torch_m3gnet_tpu.data.graph import GraphBatch
 from torch_m3gnet_tpu.models.layers import GatedMLP
 from torch_m3gnet_tpu.ops.basis import (
     cutoff_poly,
-    legendre_cos_all,
-    normalized_spherical_bessel,
+    legendre_cos_tmajor,
+    normalized_spherical_bessel_tmajor,
     smooth_radial_basis,
 )
 from torch_m3gnet_tpu.ops.segment import segment_sum, take
@@ -103,6 +103,13 @@ class M3GNet(nn.Module):
     # transposes to an efficient psum_scatter over ICI. Edge sources must be
     # shard-local ids; see parallel/graph_shard.py.
     halo_axis: Optional[str] = None
+    # Optional low-precision compute: "bfloat16" runs featurization and MLPs
+    # in bf16 (MXU native); geometry/basis and the energy sum stay in the
+    # input dtype. None = compute in the input dtype (full parity).
+    compute_dtype: Optional[str] = None
+    # Rematerialize the three-body message stage in the backward pass instead
+    # of storing (T, l*n) intermediates — trades cheap recompute for HBM.
+    remat_triplets: bool = False
 
     @nn.compact
     def __call__(
@@ -143,41 +150,54 @@ class M3GNet(nn.Module):
 
         # --- featurization ------------------------------------------------
         # AtomFeaturizer (featurizer.py:11-38): one-hot @ W == embedding table.
-        embed = nn.Embed(self.num_types, d, name="atom_embed", dtype=dtype)
+        cdtype0 = jnp.dtype(self.compute_dtype) if self.compute_dtype else dtype
+        embed = nn.Embed(self.num_types, d, name="atom_embed", dtype=cdtype0)
         v = embed(graph.atom_types)  # (N, D)
 
-        # EdgeFeaturizer (featurizer.py:41-100): smooth radial basis.
-        edge_weights = smooth_radial_basis(dist, self.n_max, rc).astype(dtype)  # (E, n_max)
+        # EdgeFeaturizer (featurizer.py:41-100): smooth radial basis (computed
+        # in the geometry dtype, then cast to the compute dtype for the MLPs).
+        edge_weights = smooth_radial_basis(dist, self.n_max, rc).astype(cdtype0)  # (E, n_max)
 
         # EdgeAdjustor (featurizer.py:103-132).
         e = nn.silu(
-            nn.Dense(d, use_bias=False, name="edge_init", dtype=dtype)(edge_weights)
+            nn.Dense(d, use_bias=False, name="edge_init")(edge_weights)
         )  # (E, D)
 
         # Triplet-constant angular/radial factors (computed once; reference
         # recomputes identical values in every block, interaction.py:187-202).
+        # Entity-major layout throughout: the T axis stays on sublanes, the
+        # small (l, n) axes on lanes — no (l*n, T) -> (T, l*n) transpose.
         fc = cutoff_poly(rij, rc3) * cutoff_poly(rik, rc3)  # (T,)
         sph_norm = np.array(
             [math.sqrt((2 * ell + 1) / (4.0 * math.pi)) for ell in range(self.l_max)]
         )
-        sph = legendre_cos_all(cos_jik, self.l_max) * sph_norm[:, None]  # (l, T)
-        chi = normalized_spherical_bessel(rik, rc, self.l_max, self.n_max)  # (l, n, T)
-        # basis product, (T, l*n) row-major with masked padding
-        basis_t = (chi * sph[:, None, :] * fc[None, None, :]).reshape(ln, -1).T
+        sph_t = legendre_cos_tmajor(cos_jik, self.l_max) * sph_norm  # (T, l)
+        chi_t = normalized_spherical_bessel_tmajor(
+            rik, rc, self.l_max, self.n_max
+        )  # (T, l, n)
+        basis_t = (chi_t * sph_t[:, :, None] * fc[:, None, None]).reshape(-1, ln)
         basis_t = basis_t * trip_mask[:, None]
+
+        basis_t = basis_t.astype(cdtype0)
 
         node_k = _gather(graph.edge_dst, graph.triplet_e2)  # (T,) node k of i->k
 
         # --- interaction blocks ------------------------------------------
+        def triplet_aggregate(basis, gate):
+            msg = basis * gather_nodes(gate, node_k)  # (T, l*n)
+            return segment_sum(
+                msg, graph.triplet_e1, num_segments=graph.num_edges
+            )  # (E, l*n)
+
+        if self.remat_triplets:
+            triplet_aggregate = jax.checkpoint(triplet_aggregate)
+
         for b in range(self.num_blocks):
             # ThreeBodyInteraction (interaction.py:138-223)
             gate = nn.sigmoid(
-                nn.Dense(ln, name=f"three_gate_{b}", dtype=dtype)(v)
+                nn.Dense(ln, name=f"three_gate_{b}")(v)
             )  # (N, l*n)
-            msg = basis_t * gather_nodes(gate, node_k)  # (T, l*n)
-            agg = segment_sum(
-                msg, graph.triplet_e1, num_segments=graph.num_edges
-            )  # (E, l*n)
+            agg = triplet_aggregate(basis_t, gate)
             e = e + GatedMLP([d], use_bias=False, name=f"three_mlp_{b}")(agg)
 
             # M3GNetConv (conv.py:12-97)
@@ -185,12 +205,12 @@ class M3GNet(nn.Module):
             vj = gather_nodes(v, graph.edge_dst)
             concat = jnp.concatenate([vi, vj, e], axis=-1)  # (E, 3D)
             e = e + GatedMLP([d, d], name=f"conv_edge_{b}")(concat) * nn.Dense(
-                d, use_bias=False, name=f"conv_edge_w_{b}", dtype=dtype
+                d, use_bias=False, name=f"conv_edge_w_{b}"
             )(edge_weights)
 
             concat = jnp.concatenate([vi, vj, e], axis=-1)
             node_msg = GatedMLP([d, d], name=f"conv_node_{b}")(concat) * nn.Dense(
-                d, use_bias=False, name=f"conv_node_w_{b}", dtype=dtype
+                d, use_bias=False, name=f"conv_node_w_{b}"
             )(edge_weights)
             node_msg = node_msg * edge_mask[:, None]
             v = v + segment_sum(
@@ -200,8 +220,10 @@ class M3GNet(nn.Module):
                 indices_are_sorted=True,
             )
 
-        # --- readout (readout.py:12-58) ----------------------------------
-        atomic = GatedMLP([d, d, 1], is_output=True, name="readout")(v)[:, 0]  # (N,)
+        # --- readout (readout.py:12-58): accumulate energies in the geometry
+        # dtype even under bf16 compute.
+        atomic = GatedMLP([d, d, 1], is_output=True, name="readout")(v)[:, 0]
+        atomic = atomic.astype(dtype)  # (N,)
         elem = jnp.asarray(
             np.asarray(self.elemental_energies, dtype=np.float64)
             if len(self.elemental_energies)
@@ -328,6 +350,7 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
     """Assemble a potential from a config (parity: build.py:16-83)."""
     if matmul_precision is None:
         matmul_precision = getattr(config, "matmul_precision", "default")
+    compute_dtype = getattr(config, "compute_dtype", "float32")
     model = M3GNet(
         cutoff=config.cutoff,
         threebody_cutoff=config.threebody_cutoff,
@@ -339,6 +362,8 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         elemental_energies=tuple(elemental_energies or ()),
         energy_scale=energy_scale,
         length_scale=length_scale,
+        compute_dtype=None if compute_dtype in ("float32", None) else compute_dtype,
+        remat_triplets=getattr(config, "remat_triplets", False),
     )
     return M3GNetPotential(
         model, stress_mode=stress_mode, matmul_precision=matmul_precision

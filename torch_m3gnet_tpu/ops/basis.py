@@ -139,6 +139,41 @@ def normalized_spherical_bessel(
     return jnp.stack(chis)  # (l_max, n_max, *r)
 
 
+def legendre_cos_tmajor(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """P_l(x) stacked on the LAST axis: shape (*x.shape, l_max).
+
+    Entity-major layout keeps the big axis on TPU sublanes and the small l
+    axis on lanes — no (l, T) -> (T, l) transpose in the model's hot path.
+    """
+    out = [jnp.ones_like(x)]
+    if l_max > 1:
+        out.append(x)
+        for n in range(1, l_max - 1):
+            out.append(((2 * n + 1) * x * out[n] - n * out[n - 1]) / (n + 1))
+    return jnp.stack(out, axis=-1)
+
+
+def normalized_spherical_bessel_tmajor(
+    r: jnp.ndarray, cutoff: float, l_max: int, n_max: int
+) -> jnp.ndarray:
+    """chi_ln(r) with entity-major layout: shape (*r.shape, l_max, n_max)."""
+    zeros = spherical_bessel_zeros(l_max + 1, n_max)
+    from scipy.special import spherical_jn
+
+    norm = np.stack(
+        [
+            math.sqrt(2.0 / cutoff**3) / np.abs(spherical_jn(ell + 1, zeros[ell]))
+            for ell in range(l_max)
+        ]
+    )  # (l_max, n_max)
+    outs = []
+    for ell in range(l_max):
+        z = r[..., None] * (zeros[ell] / cutoff)  # (..., n)
+        j = spherical_bessel_all(z, ell + 1)[ell]
+        outs.append(j * norm[ell])
+    return jnp.stack(outs, axis=-2)  # (..., l, n)
+
+
 def smooth_radial_basis(r: jnp.ndarray, n_max: int, cutoff: float) -> jnp.ndarray:
     """Kocer-style smooth radial basis h_m(r), m = 0..n_max-1.
 

@@ -41,7 +41,7 @@ def segment_sum(
             non-decreasing (true for edge->node sums thanks to the
             source-sorted neighbor-list invariant).
     """
-    if _BACKEND == "pallas":
+    if _BACKEND == "pallas" and indices_are_sorted:
         from torch_m3gnet_tpu.ops.pallas_segment import pallas_segment_sum
 
         out = pallas_segment_sum(data, segment_ids, num_segments)
