@@ -118,10 +118,24 @@ class Trainer:
         potential,
         config: M3GNetConfig,
         log_dir: Optional[str] = None,
+        log_tensorboard: bool = False,
+        log_param_stats: bool = False,
     ):
         self.potential = potential
         self.config = config
         self.log_dir = log_dir or os.path.join(config.root, "logs")
+        self.log_param_stats = log_param_stats
+        self._tb = None
+        if log_tensorboard:
+            # torch's TensorBoard writer (torch is CPU-only here and used for
+            # logging only) — parity with the reference's TB logging
+            # (litmodule.py:251-254, param histograms at :94-95).
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(self.log_dir)
+            except Exception:
+                self._tb = None
         base = optax.adam(
             learning_rate=1.0,  # scaled by the injected schedule factor below
             eps=1e-7,
@@ -247,9 +261,27 @@ class Trainer:
                 else:
                     patience_left -= 1
 
+            if self.log_param_stats:
+                flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+                for path, leaf in flat:
+                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                    row[f"param_norm/{name}"] = float(jnp.linalg.norm(leaf))
+
             if epoch % log_every == 0:
                 with open(log_path, "a") as f:
                     f.write(json.dumps(row) + "\n")
+            if self._tb is not None:
+                for k, val in row.items():
+                    if isinstance(val, (int, float)):
+                        self._tb.add_scalar(k, val, epoch)
+                if self.log_param_stats:
+                    import numpy as _np
+
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(
+                        state.params
+                    )[0]:
+                        name = "/".join(str(getattr(p, "key", p)) for p in path)
+                        self._tb.add_histogram(name, _np.asarray(leaf), epoch)
 
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, state, tag="last")
