@@ -60,5 +60,5 @@ def test_vjp_is_gather():
     data = jnp.asarray(rng.standard_normal((M, F)).astype(np.float32))
     with pltpu.force_tpu_interpret_mode():
         out, vjp = jax.vjp(lambda d: sorted_segment_sum(d, jnp.asarray(seg), E), data)
-        g = vjp(jnp.ones((E, F)))[0]
+        g = vjp(jnp.ones((E, F), dtype=jnp.float32))[0]
     np.testing.assert_allclose(np.asarray(g), 1.0)

@@ -180,13 +180,19 @@ class M3GNet(nn.Module):
 
         basis_t = basis_t.astype(cdtype0)
 
-        node_k = _gather(graph.edge_dst, graph.triplet_e2)  # (T,) node k of i->k
+        # node k of i->k — precomputed at pack time when available (the
+        # T-scale int gather costs ~8 ms/step on v5e if re-derived per step)
+        if graph.triplet_node_k is not None:
+            node_k = jnp.asarray(graph.triplet_node_k)
+        else:
+            node_k = _gather(graph.edge_dst, graph.triplet_e2)
 
         # --- interaction blocks ------------------------------------------
         def triplet_aggregate(basis, gate):
             msg = basis * gather_nodes(gate, node_k)  # (T, l*n)
             return segment_sum(
-                msg, graph.triplet_e1, num_segments=graph.num_edges
+                msg, graph.triplet_e1, num_segments=graph.num_edges,
+                indices_are_sorted=True,  # triplets are enumerated per edge
             )  # (E, l*n)
 
         if self.remat_triplets:
@@ -233,7 +239,8 @@ class M3GNet(nn.Module):
         scaled_atomic = _gather(elem, graph.atom_types) / self.energy_scale + atomic
         scaled_atomic = scaled_atomic * node_mask
         scaled_total = segment_sum(
-            scaled_atomic, graph.node_graph, num_segments=graph.num_graphs
+            scaled_atomic, graph.node_graph, num_segments=graph.num_graphs,
+            indices_are_sorted=True,
         )
         total = self.energy_scale * scaled_total * graph_mask  # (B,) eV
         atomic_ev = self.energy_scale * scaled_atomic  # (N,) eV
@@ -324,7 +331,8 @@ class M3GNetPotential:
         if self.stress_mode == "strain":
             outer = r_vec[:, :, None] * g_r[:, None, :]  # (E, 3, 3)
             per_graph = segment_sum(
-                outer.reshape(-1, 9), edge_graph, num_segments=nb
+                outer.reshape(-1, 9), edge_graph, num_segments=nb,
+                indices_are_sorted=True,
             ).reshape(-1, 3, 3)
             per_graph = 0.5 * (per_graph + jnp.swapaxes(per_graph, -1, -2))
         else:
@@ -350,6 +358,16 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
     """Assemble a potential from a config (parity: build.py:16-83)."""
     if matmul_precision is None:
         matmul_precision = getattr(config, "matmul_precision", "default")
+    pallas = getattr(config, "pallas_segment", "auto")
+    if pallas == "on":
+        from torch_m3gnet_tpu.ops import segment as _seg
+
+        _seg.enable_pallas(True)
+    elif pallas == "off":
+        from torch_m3gnet_tpu.ops import segment as _seg
+
+        _seg.enable_pallas(False)
+
     compute_dtype = getattr(config, "compute_dtype", "float32")
     model = M3GNet(
         cutoff=config.cutoff,

@@ -93,16 +93,17 @@ def partition_graph(
             out[s, : trip_counts[s]] = arr[t_start[s] : t_start[s] + trip_counts[s]]
         return out
 
-    # shard-local source ids (padded slots -> 0, masked downstream)
+    # shard-local source ids (padded slots -> last local node, keeping the
+    # sorted-ids invariant for the Pallas segment kernels)
     esrc_local = by_edge(src)
     for s in range(n_shards):
         esrc_local[s, : edge_counts[s]] -= s * nps
-        esrc_local[s, edge_counts[s] :] = 0
+        esrc_local[s, edge_counts[s] :] = nps - 1
 
     # triplet edge ids -> shard-local edge slots
-    def trip_local(te):
+    def trip_local(te, pad_value=0):
         te = np.asarray(te)
-        out = np.zeros((n_shards, tps), dtype=te.dtype)
+        out = np.full((n_shards, tps), pad_value, dtype=te.dtype)
         for s in range(n_shards):
             cnt = trip_counts[s]
             out[s, :cnt] = te[t_start[s] : t_start[s] + cnt] - e_start[s]
@@ -117,9 +118,12 @@ def partition_graph(
         edge_dst=by_edge(np.asarray(graph.edge_dst)).astype(np.int32),
         edge_cell_shift=by_edge(np.asarray(graph.edge_cell_shift)),
         edge_mask=by_edge(np.asarray(graph.edge_mask)),
-        triplet_e1=trip_local(graph.triplet_e1).astype(np.int32),
+        triplet_e1=trip_local(graph.triplet_e1, pad_value=eps - 1).astype(np.int32),
         triplet_e2=trip_local(graph.triplet_e2).astype(np.int32),
         triplet_mask=by_trip(np.asarray(graph.triplet_mask)),
+        triplet_node_k=by_trip(
+            np.asarray(graph.edge_dst)[np.asarray(graph.triplet_e2)]
+        ).astype(np.int32),
         lattice=np.broadcast_to(np.asarray(graph.lattice), (n_shards, 1, 3, 3)).copy(),
         graph_mask=np.ones((n_shards, 1), dtype=bool),
         n_node=np.full((n_shards, 1), n, dtype=np.int32),
