@@ -137,6 +137,77 @@ def batch_iterator(
         )
 
 
+@dataclass(frozen=True)
+class BucketLadder:
+    """Multiple size-class buckets for heterogeneous datasets (e.g. MPF).
+
+    A single worst-case bucket wastes padding when structure sizes span orders
+    of magnitude; a ladder groups graphs into size classes (by triplet count,
+    the dominant axis) and pads each class's batches to its own bucket —
+    one XLA compilation per class.
+    """
+
+    buckets: tuple  # tuple[BucketSpec, ...] small -> large
+    assignments: np.ndarray  # (num_graphs,) class index
+
+    @classmethod
+    def build(
+        cls,
+        graphs: Sequence[GraphBatch],
+        batch_size: int,
+        num_classes: int = 3,
+        pad_multiple: int = 128,
+    ) -> "BucketLadder":
+        sizes = np.array([g.num_triplets for g in graphs])
+        edges = np.argsort(sizes)
+        splits = np.array_split(edges, num_classes)
+        assignments = np.zeros(len(graphs), dtype=np.int64)
+        buckets = []
+        for ci, idx in enumerate(splits):
+            if len(idx) == 0:
+                continue
+            assignments[idx] = len(buckets)
+            buckets.append(
+                BucketSpec.for_batches(
+                    [graphs[i] for i in idx], batch_size, pad_multiple
+                )
+            )
+        return cls(buckets=tuple(buckets), assignments=assignments)
+
+    def padding_efficiency(self, graphs: Sequence[GraphBatch], batch_size: int) -> float:
+        """Real triplets / padded triplet slots over one epoch (upper bound 1)."""
+        total_real = sum(g.num_triplets for g in graphs)
+        total_slots = 0
+        for ci, b in enumerate(self.buckets):
+            n = int((self.assignments == ci).sum())
+            n_batches = -(-n // batch_size)
+            total_slots += n_batches * b.max_triplets
+        return total_real / max(total_slots, 1)
+
+
+def ladder_batch_iterator(
+    graphs: Sequence[GraphBatch],
+    batch_size: int,
+    ladder: BucketLadder,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[GraphBatch]:
+    """Shuffled batches drawn within size classes, padded per-class."""
+    for ci, bucket in enumerate(ladder.buckets):
+        idx = np.nonzero(ladder.assignments == ci)[0]
+        if rng is not None:
+            rng.shuffle(idx)
+        for start in range(0, len(idx), batch_size):
+            sel = idx[start : start + batch_size]
+            cat = batch_graphs([graphs[i] for i in sel])
+            yield pad_batch(
+                cat,
+                bucket.max_nodes,
+                bucket.max_edges,
+                bucket.max_triplets,
+                bucket.max_graphs,
+            )
+
+
 def sharded_batch_iterator(
     graphs: Sequence[GraphBatch],
     per_device_batch: int,
