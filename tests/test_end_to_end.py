@@ -209,3 +209,39 @@ def test_train_model_data_parallel(tmp_path):
     trainer, state, metrics = train_model(cfg, graphs, max_epochs=2)
     assert state.epoch == 2
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_cell_relaxation_reduces_stress():
+    """relax_cell=True lowers energy and stress via lattice deformation."""
+    rng = np.random.default_rng(3)
+    base = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    )
+    s0 = Structure(
+        base.lattice * 1.05,
+        base.cart_coords * 1.05 + 0.1 * rng.standard_normal((4, 3)),
+        base.atomic_numbers,
+    )
+    cfg = M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=1)
+    pot = build_model(cfg)
+    from torch_m3gnet_tpu.data.graph import pack_structures
+
+    g = pack_structures([s0], 4.5, 4.0)
+    params = pot.init(jax.random.PRNGKey(7), g)
+    out0 = pot.apply(params, g)
+    e0 = float(out0.energy[0])
+    st0 = float(np.abs(np.asarray(out0.stress)).max())
+
+    relaxed, _, _ = relax_structures(
+        pot, params, [s0], 4.5, 4.0,
+        FireConfig(max_steps=100, rebuild_every=10, relax_cell=True,
+                   fmax=1e-6, cell_gain=20.0),
+    )
+    g1 = pack_structures(relaxed, 4.5, 4.0)
+    out1 = pot.apply(params, g1)
+    assert float(out1.energy[0]) <= e0 + 1e-6
+    assert float(np.abs(np.asarray(out1.stress)).max()) < st0
+    # lattice actually moved
+    assert not np.allclose(relaxed[0].lattice, s0.lattice)

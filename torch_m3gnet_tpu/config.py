@@ -63,6 +63,9 @@ class M3GNetConfig:
     matmul_precision: str = "default"
     # Rematerialize the triplet message stage in backward (HBM for recompute).
     remat_triplets: bool = False
+    # Size-class bucket ladder: >1 pads batches per size class (one XLA
+    # compilation per class) — big padding-efficiency win on mixed datasets.
+    bucket_classes: int = 1
     # Data-parallel axis size; 1 = single chip.
     num_devices: int = 1
     # Use Pallas segment kernels on TPU ("auto"|"on"|"off").

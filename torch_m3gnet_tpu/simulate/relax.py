@@ -37,6 +37,7 @@ class FireConfig:
     rebuild_every: int = 20
     fmax: float = 0.05  # eV/A convergence threshold (max force component norm)
     relax_cell: bool = False
+    cell_gain: float = 1.0  # strain per unit stress (eV/A^3)^-1, capped at 2%/step
 
 
 def _fire_inner(potential, params, batch: GraphBatch, cfg: FireConfig, n_steps: int):
@@ -117,15 +118,16 @@ def relax_structures(
 
     n_outer = (config.max_steps + config.rebuild_every - 1) // config.rebuild_every
     positions = [s.cart_coords.copy() for s in structures]
+    lattices = [s.lattice.copy() for s in structures]
     energies = np.zeros(len(structures))
     fmax = np.full(len(structures), np.inf)
 
     for _ in range(n_outer):
         graphs = [
             graph_from_structure(
-                Structure(s.lattice, p, s.atomic_numbers), cutoff + skin, threebody_cutoff
+                Structure(lat, p, s.atomic_numbers), cutoff + skin, threebody_cutoff
             )
-            for s, p in zip(structures, positions)
+            for s, p, lat in zip(structures, positions, lattices)
         ]
         cat = batch_graphs(graphs)
         batch = pad_batch(
@@ -146,11 +148,39 @@ def relax_structures(
             positions[i] = pos[off : off + n]
             fmax[i] = float(np.linalg.norm(forces[off : off + n], axis=1).max())
             off += n
-        if (fmax <= config.fmax).all():
+
+        if config.relax_cell:
+            # Stress-driven cell step between topology rebuilds: a damped
+            # steepest-descent deformation A <- A (1 - gamma * sigma_hat),
+            # applied to lattice and cartesian coordinates jointly
+            # (dE = V sigma : d_eps, so -sigma is the descent direction).
+            out_full = potential.apply(params, batch)
+            stress_v = np.asarray(out_full.stress)[: len(structures)]
+            for i in range(len(structures)):
+                sv = stress_v[i]
+                sig = np.array(
+                    [
+                        [sv[0], sv[5], sv[4]],
+                        [sv[5], sv[1], sv[3]],
+                        [sv[4], sv[3], sv[2]],
+                    ]
+                )
+                smax = np.abs(sig).max()
+                if smax < 1e-10:
+                    continue
+                # proportional step (strain = gain * stress), capped at 2%
+                # per-component strain so topology stays valid between rebuilds
+                eps = -config.cell_gain * sig
+                scale = min(1.0, 0.02 / np.abs(eps).max())
+                F = np.eye(3) + scale * eps
+                lattices[i] = lattices[i] @ F.T
+                positions[i] = positions[i] @ F.T
+
+        if (fmax <= config.fmax).all() and not config.relax_cell:
             break
 
     relaxed = [
-        Structure(s.lattice, p, s.atomic_numbers, dict(s.properties))
-        for s, p in zip(structures, positions)
+        Structure(lat, p, s.atomic_numbers, dict(s.properties))
+        for s, p, lat in zip(structures, positions, lattices)
     ]
     return relaxed, energies, fmax

@@ -69,6 +69,30 @@ def train_model(
         def val_batches():
             return sharded_batch_iterator(val_graphs, per_dev, n_dev, bucket)
 
+    elif getattr(config, "bucket_classes", 1) > 1:
+        from torch_m3gnet_tpu.data.dataset import BucketLadder, ladder_batch_iterator
+
+        ladder = BucketLadder.build(
+            all_for_bucket, config.batch_size, config.bucket_classes,
+            config.pad_multiple,
+        )
+        n_train = len(train_graphs)
+        n_val = len(val_graphs or [])
+        tr_ladder = BucketLadder(
+            buckets=ladder.buckets, assignments=ladder.assignments[:n_train]
+        )
+        va_ladder = BucketLadder(
+            buckets=ladder.buckets,
+            assignments=ladder.assignments[n_train : n_train + n_val],
+        )
+        bucket = ladder.buckets[-1]  # largest class, used for init example
+
+        def train_batches(epoch: int):
+            return ladder_batch_iterator(train_graphs, config.batch_size, tr_ladder, rng=rng)
+
+        def val_batches():
+            return ladder_batch_iterator(val_graphs, config.batch_size, va_ladder)
+
     else:
         bucket = BucketSpec.for_batches(
             all_for_bucket, config.batch_size, config.pad_multiple
