@@ -75,3 +75,40 @@ def test_graph_parallel_matches_single_device(mesh):
     np.testing.assert_allclose(
         np.asarray(out.stress)[0], np.asarray(ref.stress)[0], atol=2e-6
     )
+
+
+def test_graph_parallel_training_gradients(mesh):
+    """jax.grad through the gp loss (halo collectives) matches single-device."""
+    import jax.numpy as jnp
+
+    from torch_m3gnet_tpu.train.loop import loss_and_metrics
+
+    s = _big_structure(seed=5)
+    rng = np.random.default_rng(1)
+    g = graph_from_structure(s, 5.0, 4.0)
+    g = g.replace(
+        energy=np.array([-200.0], dtype=np.float32),
+        forces=(0.1 * rng.standard_normal((g.num_nodes, 3))).astype(np.float32),
+    )
+
+    pot = build_model(CONFIG.replace(stress_weight=0.0))
+    single = pad_batch(g, g.num_nodes, g.num_edges, g.num_triplets, 1)
+    params = pot.init(jax.random.PRNGKey(0), single)
+
+    # single-device loss (same E/atom + force MSE definition)
+    def ref_loss(p):
+        loss, _ = loss_and_metrics(pot, p, single, CONFIG.replace(stress_weight=0.0))
+        return loss
+
+    ref_val = float(ref_loss(params))
+    ref_grads = jax.grad(ref_loss)(params)
+
+    gp = GraphParallelPotential(pot.model, mesh)
+    sharded = partition_graph(g, 4)
+    loss_fn = gp.make_loss(CONFIG.replace(stress_weight=0.0))
+    gp_val = float(loss_fn(params, sharded))
+    gp_grads = jax.grad(lambda p: loss_fn(p, sharded))(params)
+
+    np.testing.assert_allclose(gp_val, ref_val, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp_grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)

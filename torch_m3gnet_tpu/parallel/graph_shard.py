@@ -47,6 +47,9 @@ def partition_graph(
     n_shards: int,
     pad_multiple: int = 128,
 ) -> GraphBatch:
+    """See module docstring. Targets (energy/forces) are carried into shards
+    when present (forces split by node block; the total energy rides shard 0's
+    slot and is recovered by summation-with-mask in the gp loss)."""
     """Split one single (unpadded) graph into stacked per-device shards.
 
     Returns a GraphBatch whose arrays carry a leading ``n_shards`` axis.
@@ -127,6 +130,10 @@ def partition_graph(
         lattice=np.broadcast_to(np.asarray(graph.lattice), (n_shards, 1, 3, 3)).copy(),
         graph_mask=np.ones((n_shards, 1), dtype=bool),
         n_node=np.full((n_shards, 1), n, dtype=np.int32),
+        energy=None
+        if graph.energy is None
+        else np.broadcast_to(np.asarray(graph.energy), (n_shards, 1)).copy(),
+        forces=None if graph.forces is None else by_node(np.asarray(graph.forces)),
         num_graphs_real=1,
     )
 
@@ -210,6 +217,78 @@ class GraphParallelPotential:
             return energy, forces[None], stress[None]
 
         return run
+
+    # ------------------------------------------------------------------
+    # Training: loss whose gradient flows through the halo exchange.
+    def make_loss(self, config):
+        """Return loss_fn(params, sharded) -> scalar (E/atom + force MSE).
+
+        The per-shard force error and energy are psum'd inside shard_map, so
+        jax.grad(loss_fn) backpropagates through the collectives
+        (all_gather -> psum_scatter) — a full graph-parallel training step.
+        """
+        model = self.model
+        axis = self.axis
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(),
+        )
+        def loss_fn(params, stacked):
+            shard = jax.tree.map(lambda x: x[0], stacked)
+            nps = shard.num_nodes
+            pos_local = jnp.asarray(shard.positions)
+            lattice = jnp.asarray(shard.lattice)
+            pos_all = jax.lax.all_gather(pos_local, axis, axis=0, tiled=True)
+            shift = jnp.einsum(
+                "ep,pq->eq",
+                jnp.asarray(shard.edge_cell_shift, pos_local.dtype),
+                lattice[0],
+            )
+            r_vec = (
+                take(pos_all, jnp.asarray(shard.edge_dst))
+                + shift
+                - take(pos_local, jnp.asarray(shard.edge_src))
+            )
+
+            def energy_of(rv):
+                total, _ = model.apply(params, shard, rv)
+                return jnp.sum(total)
+
+            e_local, g_r = jax.value_and_grad(energy_of)(r_vec)
+            emask = jnp.asarray(shard.edge_mask, g_r.dtype)[:, None]
+            g_r = g_r * emask
+
+            f_src = segment_sum(
+                g_r, jnp.asarray(shard.edge_src), num_segments=nps,
+                indices_are_sorted=True,
+            )
+            f_dst_all = segment_sum(
+                g_r, jnp.asarray(shard.edge_dst), num_segments=pos_all.shape[0]
+            )
+            f_dst_all = jax.lax.psum(f_dst_all, axis)
+            my = jax.lax.axis_index(axis)
+            f_dst_local = jax.lax.dynamic_slice_in_dim(f_dst_all, my * nps, nps)
+            nmask = jnp.asarray(shard.node_mask, g_r.dtype)[:, None]
+            forces = (f_src - f_dst_local) * nmask
+
+            energy = jax.lax.psum(e_local, axis)  # scalar, replicated
+            n_atoms = jax.lax.psum(jnp.asarray(shard.node_mask, g_r.dtype).sum(), axis)
+
+            # the target total is broadcast-identical across shards, but that
+            # can't be statically inferred from a sharded input — pmean makes
+            # the replication explicit for the checker
+            e_target = jax.lax.pmean(jnp.sum(jnp.asarray(shard.energy)), axis)
+            e_loss = ((energy - e_target) / jnp.maximum(n_atoms, 1.0)) ** 2
+
+            f_err = jnp.sum((forces - jnp.asarray(shard.forces)) ** 2 * nmask)
+            f_loss = jax.lax.psum(f_err, axis) / jnp.maximum(3.0 * n_atoms, 1.0)
+
+            return config.energy_weight * e_loss + config.force_weight * f_loss
+
+        return lambda params, sharded: loss_fn(params, sharded)
 
     def apply(self, params, sharded: GraphBatch) -> PotentialOutput:
         energy, forces, stress = self._japply(params, sharded)
