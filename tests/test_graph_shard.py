@@ -9,7 +9,11 @@ from torch_m3gnet_tpu.config import M3GNetConfig
 from torch_m3gnet_tpu.data.graph import graph_from_structure, pad_batch
 from torch_m3gnet_tpu.data.structure import Structure
 from torch_m3gnet_tpu.models import build_model
-from torch_m3gnet_tpu.parallel.graph_shard import GraphParallelPotential, partition_graph
+from torch_m3gnet_tpu.parallel.graph_shard import (
+    GraphParallelPotential,
+    partition_graph,
+    stack_partitions,
+)
 
 CONFIG = M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=2)
 
@@ -112,3 +116,62 @@ def test_graph_parallel_training_gradients(mesh):
     np.testing.assert_allclose(gp_val, ref_val, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(gp_grads), jax.tree.leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
+
+
+def test_dp_gp_composed_loss_matches_mean_of_gp_losses():
+    """2-D dp x gp mesh: the composed loss is the dp-mean of per-graph gp losses,
+    and its gradient is the mean of per-graph gradients."""
+    from jax.sharding import Mesh
+
+    cpus = jax.devices("cpu")
+    mesh2d = Mesh(np.array(cpus[:8]).reshape(2, 4), ("dp", "gp"))
+    mesh1d = Mesh(np.array(cpus[:4]), ("gp",))
+
+    cfg = CONFIG.replace(stress_weight=0.0)
+    rng = np.random.default_rng(7)
+    graphs = []
+    for seed in (11, 12):
+        s = _big_structure(seed=seed)
+        g = graph_from_structure(s, 5.0, 4.0)
+        graphs.append(
+            g.replace(
+                energy=np.array([-150.0 - seed], dtype=np.float32),
+                forces=(0.1 * rng.standard_normal((g.num_nodes, 3))).astype(
+                    np.float32
+                ),
+            )
+        )
+
+    pot = build_model(cfg)
+    single = pad_batch(
+        graphs[0], graphs[0].num_nodes, graphs[0].num_edges, graphs[0].num_triplets, 1
+    )
+    params = pot.init(jax.random.PRNGKey(0), single)
+
+    # reference: per-graph gp losses on the 1-D mesh
+    gp1 = GraphParallelPotential(pot.model, mesh1d)
+    loss1 = gp1.make_loss(cfg)
+    vals, grads = [], []
+    for g in graphs:
+        sharded = partition_graph(g, 4)
+        vals.append(float(loss1(params, sharded)))
+        grads.append(jax.grad(lambda p: loss1(p, sharded))(params))
+
+    # composed: both graphs in one dp x gp step
+    gp2 = GraphParallelPotential(pot.model, mesh2d)
+    loss2 = gp2.make_loss(cfg, dp_axis="dp")
+    stacked = stack_partitions(graphs, 4)
+    assert stacked.positions.shape[:2] == (2, 4)
+    val2 = float(loss2(params, stacked))
+    grad2 = jax.grad(lambda p: loss2(p, stacked))(params)
+
+    np.testing.assert_allclose(val2, np.mean(vals), rtol=1e-5)
+    for a, b0, b1 in zip(
+        jax.tree.leaves(grad2), jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a),
+            (np.asarray(b0) + np.asarray(b1)) / 2.0,
+            atol=3e-5,
+            rtol=1e-3,
+        )

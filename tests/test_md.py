@@ -1,0 +1,109 @@
+"""MD integrator tests.
+
+Physics-level checks (no reference counterpart — MD extends beyond the
+reference's scope, which only demos relaxation via the external TF package):
+- Maxwell-Boltzmann init reproduces the target temperature and zero drift,
+- NVE conserves total energy (velocity Verlet, untrained-but-smooth potential),
+- NVT Langevin keeps the temperature finite and near target, and is
+  deterministic for a fixed seed.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from torch_m3gnet_tpu.config import M3GNetConfig
+from torch_m3gnet_tpu.data.structure import Structure
+from torch_m3gnet_tpu.models import build_model
+from torch_m3gnet_tpu.simulate.md import (
+    ATOMIC_MASSES,
+    KB,
+    KE_TO_EV,
+    MDConfig,
+    maxwell_boltzmann_velocities,
+    run_md,
+)
+
+jax.config.update("jax_enable_x64", True)
+
+CONFIG = M3GNetConfig(l_max=2, n_max=3, embedding_dim=16, num_blocks=2, num_types=95)
+
+
+@pytest.fixture(scope="module")
+def pot_params():
+    pot = build_model(CONFIG)
+    a = 4.05
+    s = Structure.from_frac_coords(
+        np.eye(3) * a,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [13, 13, 13, 13],
+    )
+    from torch_m3gnet_tpu.data.graph import pack_structures
+
+    batch = pack_structures([s], 5.0, 4.0, pad_multiple=64, dtype=np.float64)
+    params = pot.init(jax.random.PRNGKey(0), batch)
+    return pot, params, s
+
+
+def test_maxwell_boltzmann_temperature():
+    rng = np.random.default_rng(0)
+    z = np.full(4096, 13)
+    masses = ATOMIC_MASSES[z]
+    v = maxwell_boltzmann_velocities(masses, 300.0, rng, remove_drift=False)
+    ke = 0.5 * np.sum(masses[:, None] * v * v) * KE_TO_EV
+    t = 2.0 * ke / (3.0 * len(z) * KB)
+    assert abs(t - 300.0) / 300.0 < 0.05
+
+    v = maxwell_boltzmann_velocities(masses, 300.0, rng, remove_drift=True)
+    p = (masses[:, None] * v).sum(axis=0)
+    np.testing.assert_allclose(p, 0.0, atol=1e-10)
+
+
+def test_nve_energy_conservation(pot_params):
+    pot, params, s = pot_params
+    cfg = MDConfig(dt=0.5, n_steps=40, ensemble="nve", temperature=100.0,
+                   rebuild_every=10, seed=1)
+    res = run_md(pot, params, [s, s], 5.0, 4.0, config=cfg, pad_multiple=64, dtype=np.float64)
+    total = res.energies + res.kinetic  # (n_steps, 2)
+    drift = np.abs(total - total[0]).max()
+    # scale: kinetic energy at 100 K for 4 atoms ~ 0.05 eV
+    assert drift < 5e-3, f"NVE energy drift {drift} eV"
+    assert np.isfinite(res.temperatures).all()
+    assert res.energies.shape == (40, 2)
+
+
+def test_nvt_langevin_finite_and_deterministic(pot_params):
+    pot, params, s = pot_params
+    cfg = MDConfig(dt=1.0, n_steps=30, ensemble="nvt", temperature=300.0,
+                   friction=0.05, rebuild_every=15, seed=2)
+    res1 = run_md(pot, params, [s], 5.0, 4.0, config=cfg, pad_multiple=64, dtype=np.float64)
+    res2 = run_md(pot, params, [s], 5.0, 4.0, config=cfg, pad_multiple=64, dtype=np.float64)
+    np.testing.assert_allclose(res1.energies, res2.energies)
+    np.testing.assert_allclose(
+        res1.structures[0].cart_coords, res2.structures[0].cart_coords
+    )
+    assert np.isfinite(res1.temperatures).all()
+    # 4 atoms -> huge fluctuations; just bound the running mean loosely
+    assert 0.0 < res1.temperatures[-10:].mean() < 3000.0
+
+
+def test_md_batched_matches_single(pot_params):
+    """Two copies in one batch evolve identically to a single-system run (NVE
+    with identical initial velocities)."""
+    pot, params, s = pot_params
+    rng = np.random.default_rng(7)
+    v0 = maxwell_boltzmann_velocities(
+        ATOMIC_MASSES[np.asarray(s.atomic_numbers)], 200.0, rng
+    )
+    cfg = MDConfig(dt=0.5, n_steps=10, ensemble="nve", rebuild_every=5, seed=3)
+    res_pair = run_md(pot, params, [s, s], 5.0, 4.0, config=cfg,
+                      velocities=[v0, v0], pad_multiple=64, dtype=np.float64)
+    res_one = run_md(pot, params, [s], 5.0, 4.0, config=cfg,
+                     velocities=[v0], pad_multiple=64, dtype=np.float64)
+    np.testing.assert_allclose(
+        res_pair.energies[:, 0], res_one.energies[:, 0], rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        res_pair.structures[0].cart_coords,
+        res_pair.structures[1].cart_coords,
+    )

@@ -4,5 +4,18 @@ from torch_m3gnet_tpu.parallel.dp import (
     shard_stack,
     unshard,
 )
+from torch_m3gnet_tpu.parallel.graph_shard import (
+    GraphParallelPotential,
+    partition_graph,
+    stack_partitions,
+)
 
-__all__ = ["make_mesh", "DataParallel", "shard_stack", "unshard"]
+__all__ = [
+    "make_mesh",
+    "DataParallel",
+    "shard_stack",
+    "unshard",
+    "GraphParallelPotential",
+    "partition_graph",
+    "stack_partitions",
+]

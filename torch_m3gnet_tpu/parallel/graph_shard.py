@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -46,32 +47,44 @@ def partition_graph(
     graph: GraphBatch,
     n_shards: int,
     pad_multiple: int = 128,
+    nodes_per_shard: Optional[int] = None,
+    edges_per_shard: Optional[int] = None,
+    triplets_per_shard: Optional[int] = None,
 ) -> GraphBatch:
-    """See module docstring. Targets (energy/forces) are carried into shards
-    when present (forces split by node block; the total energy rides shard 0's
-    slot and is recovered by summation-with-mask in the gp loss)."""
     """Split one single (unpadded) graph into stacked per-device shards.
 
     Returns a GraphBatch whose arrays carry a leading ``n_shards`` axis.
     Shard s owns global nodes [s*nps, (s+1)*nps); ``edge_src`` is shard-local,
-    ``edge_dst`` global; triplet edge ids are shard-local slots.
+    ``edge_dst`` global; triplet edge ids are shard-local slots. Targets
+    (energy/forces) are carried into shards when present (forces split by node
+    block; the replicated total energy is pmean'd in the gp loss).
+
+    ``nodes/edges/triplets_per_shard`` override the auto-derived shard sizes so
+    several graphs can be partitioned to identical shapes (see
+    :func:`stack_partitions`).
     """
     if graph.num_graphs_real != 1 or graph.num_graphs != 1:
         raise ValueError("partition_graph expects a single unpadded graph")
     n = graph.num_nodes
-    nps = round_up(-(-n // n_shards), 8)
+    nps = nodes_per_shard or round_up(-(-n // n_shards), 8)
+    if nps * n_shards < n:
+        raise ValueError("nodes_per_shard too small for this graph")
 
     src = np.asarray(graph.edge_src)
     if (np.diff(src) < 0).any():
         raise ValueError("edges must be sorted by source node")
     owner = src // nps
     edge_counts = np.bincount(owner, minlength=n_shards)
-    eps = round_up(int(edge_counts.max()) + 1, pad_multiple)
+    eps = edges_per_shard or round_up(int(edge_counts.max()) + 1, pad_multiple)
+    if eps <= int(edge_counts.max()):
+        raise ValueError("edges_per_shard too small for this partition")
 
     t1 = np.asarray(graph.triplet_e1)
     towner = owner[t1]
     trip_counts = np.bincount(towner, minlength=n_shards)
-    tps = round_up(int(trip_counts.max()) + 1, pad_multiple)
+    tps = triplets_per_shard or round_up(int(trip_counts.max()) + 1, pad_multiple)
+    if tps <= int(trip_counts.max()):
+        raise ValueError("triplets_per_shard too small for this partition")
 
     e_start = np.cumsum(edge_counts) - edge_counts
     t_start = np.cumsum(trip_counts) - trip_counts
@@ -136,6 +149,41 @@ def partition_graph(
         forces=None if graph.forces is None else by_node(np.asarray(graph.forces)),
         num_graphs_real=1,
     )
+
+
+def stack_partitions(
+    graphs: Sequence[GraphBatch],
+    n_shards: int,
+    pad_multiple: int = 128,
+) -> GraphBatch:
+    """Partition several single graphs to COMMON shard shapes and stack them.
+
+    Returns a GraphBatch whose arrays carry TWO leading axes
+    ``(len(graphs), n_shards, ...)`` — the dp x gp layout consumed by
+    :meth:`GraphParallelPotential.make_loss` with ``dp_axis`` set. Shard sizes
+    are the max over all graphs so every (dp, gp) cell has identical static
+    shapes and the whole 2-D batch jits once.
+    """
+    if not graphs:
+        raise ValueError("stack_partitions needs at least one graph")
+    nps = max(round_up(-(-g.num_nodes // n_shards), 8) for g in graphs)
+    max_e, max_t = 0, 0
+    for g in graphs:
+        owner = np.asarray(g.edge_src) // nps
+        ec = np.bincount(owner, minlength=n_shards)
+        tc = np.bincount(owner[np.asarray(g.triplet_e1)], minlength=n_shards)
+        max_e = max(max_e, int(ec.max()))
+        max_t = max(max_t, int(tc.max()))
+    eps = round_up(max_e + 1, pad_multiple)
+    tps = round_up(max_t + 1, pad_multiple)
+    parts = [
+        partition_graph(
+            g, n_shards, pad_multiple,
+            nodes_per_shard=nps, edges_per_shard=eps, triplets_per_shard=tps,
+        )
+        for g in graphs
+    ]
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *parts)
 
 
 class GraphParallelPotential:
@@ -220,24 +268,32 @@ class GraphParallelPotential:
 
     # ------------------------------------------------------------------
     # Training: loss whose gradient flows through the halo exchange.
-    def make_loss(self, config):
+    def make_loss(self, config, dp_axis: Optional[str] = None):
         """Return loss_fn(params, sharded) -> scalar (E/atom + force MSE).
 
         The per-shard force error and energy are psum'd inside shard_map, so
         jax.grad(loss_fn) backpropagates through the collectives
         (all_gather -> psum_scatter) — a full graph-parallel training step.
+
+        With ``dp_axis`` set (2-D dp x gp mesh), ``sharded`` carries TWO
+        leading axes (n_dp, n_gp, ...): each dp row holds a *different*
+        partitioned graph, and the returned loss is the dp-mean of the
+        per-graph gp losses — data parallelism composed over graph
+        parallelism on one mesh (see :func:`stack_partitions`).
         """
         model = self.model
         axis = self.axis
+        batch_spec = P(dp_axis, axis) if dp_axis else P(axis)
 
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(), P(axis)),
+            in_specs=(P(), batch_spec),
             out_specs=P(),
         )
         def loss_fn(params, stacked):
-            shard = jax.tree.map(lambda x: x[0], stacked)
+            strip = (lambda x: x[0, 0]) if dp_axis else (lambda x: x[0])
+            shard = jax.tree.map(strip, stacked)
             nps = shard.num_nodes
             pos_local = jnp.asarray(shard.positions)
             lattice = jnp.asarray(shard.lattice)
@@ -286,12 +342,18 @@ class GraphParallelPotential:
             f_err = jnp.sum((forces - jnp.asarray(shard.forces)) ** 2 * nmask)
             f_loss = jax.lax.psum(f_err, axis) / jnp.maximum(3.0 * n_atoms, 1.0)
 
-            return config.energy_weight * e_loss + config.force_weight * f_loss
+            loss = config.energy_weight * e_loss + config.force_weight * f_loss
+            if dp_axis is not None:
+                loss = jax.lax.pmean(loss, dp_axis)
+            return loss
 
         return lambda params, sharded: loss_fn(params, sharded)
 
     def apply(self, params, sharded: GraphBatch) -> PotentialOutput:
         energy, forces, stress = self._japply(params, sharded)
+        return self._unpack(energy, forces, stress, sharded)
+
+    def _unpack(self, energy, forces, stress, sharded):
         stress = jnp.reshape(stress, (-1, 6))[:1]
         forces = jnp.reshape(forces, (-1, 3))
         n = int(np.asarray(sharded.n_node)[0, 0])
