@@ -26,6 +26,55 @@ def test_remat_triplets_is_exact(al_fcc, na_bcc):
     np.testing.assert_allclose(np.asarray(out.forces), np.asarray(out_r.forces), atol=1e-5)
 
 
+def test_fused_triplets_matches_xla(al_fcc, na_bcc):
+    """Full model E/F/S with the fused Pallas triplet stage (interpret mode)
+    equals the XLA segment-sum path to f32-accumulation accuracy."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = _batch(al_fcc, na_bcc)
+    pot = build_model(CFG)
+    pot_f = build_model(CFG.replace(fused_triplets="on"))
+    params = pot.init(jax.random.PRNGKey(0), b)
+    out = pot.apply(params, b)
+    with pltpu.force_tpu_interpret_mode():
+        out_f = pot_f.apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_f.energy), np.asarray(out.energy), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.forces), np.asarray(out.forces), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.stress), np.asarray(out.stress), atol=5e-6
+    )
+
+
+def test_fused_triplets_training_gradients(al_fcc, na_bcc):
+    """Grad-of-grad: parameter gradients of the E+F loss agree through the
+    fused kernel's custom VJP (the force loss differentiates the backward)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from torch_m3gnet_tpu.train.loop import loss_and_metrics
+
+    rng = np.random.default_rng(0)
+    b = _batch(al_fcc, na_bcc)
+    b = b.replace(
+        energy=np.array([-10.0, -5.0], dtype=np.float32),
+        forces=(0.1 * rng.standard_normal((b.num_nodes, 3))).astype(np.float32),
+        stress=np.zeros((b.num_graphs, 6), dtype=np.float32),
+    )
+    cfg = CFG.replace(stress_weight=0.0)
+    pot = build_model(cfg)
+    pot_f = build_model(cfg.replace(fused_triplets="on"))
+    params = pot.init(jax.random.PRNGKey(0), b)
+
+    grads = jax.grad(lambda p: loss_and_metrics(pot, p, b, cfg)[0])(params)
+    with pltpu.force_tpu_interpret_mode():
+        grads_f = jax.grad(lambda p: loss_and_metrics(pot_f, p, b, cfg)[0])(params)
+    for a, c in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-5, rtol=2e-3)
+
+
 def test_bfloat16_compute_close_to_f32(al_fcc, na_bcc):
     b = _batch(al_fcc, na_bcc)
     pot = build_model(CFG)

@@ -70,6 +70,9 @@ class M3GNetConfig:
     num_devices: int = 1
     # Use Pallas segment kernels on TPU ("auto"|"on"|"off").
     pallas_segment: str = "auto"
+    # Fused Pallas triplet stage (gate gather + basis product + segment sum in
+    # one kernel; T-scale data touched once). "on"|"off".
+    fused_triplets: str = "off"
 
     def replace(self, **kwargs: Any) -> "M3GNetConfig":
         return dataclasses.replace(self, **kwargs)

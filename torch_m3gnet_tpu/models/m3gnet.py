@@ -110,6 +110,10 @@ class M3GNet(nn.Module):
     # Rematerialize the three-body message stage in the backward pass instead
     # of storing (T, l*n) intermediates — trades cheap recompute for HBM.
     remat_triplets: bool = False
+    # Fused Pallas triplet stage (ops/pallas_fused_triplet.py): gate gather +
+    # basis product + segment sum in one kernel, T-scale data touched once.
+    # Single-device only (the gp halo path keeps the XLA aggregation).
+    fused_triplets: bool = False
 
     @nn.compact
     def __call__(
@@ -188,12 +192,37 @@ class M3GNet(nn.Module):
             node_k = _gather(graph.edge_dst, graph.triplet_e2)
 
         # --- interaction blocks ------------------------------------------
-        def triplet_aggregate(basis, gate):
-            msg = basis * gather_nodes(gate, node_k)  # (T, l*n)
-            return segment_sum(
-                msg, graph.triplet_e1, num_segments=graph.num_edges,
-                indices_are_sorted=True,  # triplets are enumerated per edge
-            )  # (E, l*n)
+        if self.fused_triplets and self.halo_axis is None:
+            from torch_m3gnet_tpu.ops.pallas_fused_triplet import (
+                fused_triplet_gate_sum,
+            )
+
+            # Feature-major basis (XLA folds the transpose into the
+            # elementwise producer above); the kernel runs in f32.
+            basis_fm = basis_t.T.astype(jnp.float32)  # (l*n, T)
+            e1 = jnp.asarray(graph.triplet_e1)
+            e2 = jnp.asarray(graph.triplet_e2)
+
+            def triplet_aggregate(basis, gate):
+                # gate pre-gathered node->edge (E-scale, cheap); the kernel's
+                # T-scale e2 access is then window-local by the triplet
+                # enumeration invariant.
+                gate_e_fm = _gather(gate, graph.edge_dst).T.astype(jnp.float32)
+                out_fm = fused_triplet_gate_sum(
+                    basis, gate_e_fm, e1, e2, graph.num_edges
+                )
+                return out_fm.T.astype(cdtype0)  # (E, l*n)
+
+            basis_for_blocks = basis_fm
+        else:
+            def triplet_aggregate(basis, gate):
+                msg = basis * gather_nodes(gate, node_k)  # (T, l*n)
+                return segment_sum(
+                    msg, graph.triplet_e1, num_segments=graph.num_edges,
+                    indices_are_sorted=True,  # triplets are enumerated per edge
+                )  # (E, l*n)
+
+            basis_for_blocks = basis_t
 
         if self.remat_triplets:
             triplet_aggregate = jax.checkpoint(triplet_aggregate)
@@ -203,7 +232,7 @@ class M3GNet(nn.Module):
             gate = nn.sigmoid(
                 nn.Dense(ln, name=f"three_gate_{b}")(v)
             )  # (N, l*n)
-            agg = triplet_aggregate(basis_t, gate)
+            agg = triplet_aggregate(basis_for_blocks, gate)
             e = e + GatedMLP([d], use_bias=False, name=f"three_mlp_{b}")(agg)
 
             # M3GNetConv (conv.py:12-97)
@@ -382,6 +411,7 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         length_scale=length_scale,
         compute_dtype=None if compute_dtype in ("float32", None) else compute_dtype,
         remat_triplets=getattr(config, "remat_triplets", False),
+        fused_triplets=getattr(config, "fused_triplets", "off") == "on",
     )
     return M3GNetPotential(
         model, stress_mode=stress_mode, matmul_precision=matmul_precision
