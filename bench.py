@@ -67,16 +67,21 @@ def main() -> None:
     jax.block_until_ready((e, f, s))
 
     # The chip is reached through a shared tunnel; single timing windows vary
-    # several-fold under contention. Take the best of several windows (closest
-    # to the uncontended step time).
+    # up to ~50x under contention. Sample windows spread over up to ~2 minutes
+    # (spaced out so they hit different contention states) and take the best,
+    # which is closest to the uncontended step time.
     windows = []
-    for _ in range(5):
+    deadline = time.time() + 120.0
+    while len(windows) < 5 or time.time() < deadline:
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
             e, f, s = step(params, batch)
         jax.block_until_ready((e, f, s))
         windows.append((time.perf_counter() - t0) / iters)
+        if len(windows) >= 40:
+            break
+        time.sleep(2.0)
     dt = min(windows)
 
     rate = (real_edges + real_triplets) / dt

@@ -71,8 +71,9 @@ class M3GNetConfig:
     # Use Pallas segment kernels on TPU ("auto"|"on"|"off").
     pallas_segment: str = "auto"
     # Fused Pallas triplet stage (gate gather + basis product + segment sum in
-    # one kernel; T-scale data touched once). "on"|"off".
-    fused_triplets: str = "off"
+    # one kernel; T-scale data touched once). "auto" = on when the default
+    # backend is TPU (measured 1.16x end-to-end on v5e), off elsewhere.
+    fused_triplets: str = "auto"
 
     def replace(self, **kwargs: Any) -> "M3GNetConfig":
         return dataclasses.replace(self, **kwargs)

@@ -398,6 +398,14 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         _seg.enable_pallas(False)
 
     compute_dtype = getattr(config, "compute_dtype", "float32")
+    fused = getattr(config, "fused_triplets", "auto")
+    if fused == "auto":
+        # The platform the model will actually run on: an explicitly pinned
+        # default device wins over the backend priority list (the CPU test
+        # environment pins CPU while the TPU plugin is still registered).
+        pinned = jax.config.jax_default_device
+        platform = pinned.platform if pinned is not None else jax.default_backend()
+        fused = "on" if platform == "tpu" else "off"
     model = M3GNet(
         cutoff=config.cutoff,
         threebody_cutoff=config.threebody_cutoff,
@@ -411,7 +419,7 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         length_scale=length_scale,
         compute_dtype=None if compute_dtype in ("float32", None) else compute_dtype,
         remat_triplets=getattr(config, "remat_triplets", False),
-        fused_triplets=getattr(config, "fused_triplets", "off") == "on",
+        fused_triplets=fused == "on",
     )
     return M3GNetPotential(
         model, stress_mode=stress_mode, matmul_precision=matmul_precision
