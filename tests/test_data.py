@@ -128,3 +128,26 @@ def test_pack_structures_shapes(al_fcc, na_bcc, tio2_rutile):
     assert b.num_nodes % 128 == 0
     assert b.num_edges % 128 == 0
     assert b.num_graphs_real == 3
+
+
+def test_native_threebody_matches_numpy(al_fcc, na_bcc, tio2_rutile):
+    """C++ enumerator (native/neighbor.cpp m3g_threebody) emits byte-identical
+    triplet indices/counts to the vectorized numpy path on real crystals."""
+    import pytest
+
+    from torch_m3gnet_tpu import native
+    from torch_m3gnet_tpu.data.neighborlist import neighbor_list_pbc
+    from torch_m3gnet_tpu.data.triplets import compute_threebody
+
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(0)
+    structures = [al_fcc, na_bcc, tio2_rutile, al_fcc.supercell((3, 3, 2))]
+    for s in structures:
+        pos = s.cart_coords + 0.03 * rng.standard_normal(s.cart_coords.shape)
+        ei, _, dist = neighbor_list_pbc(s.lattice, pos, 5.0)
+        a = compute_threebody(len(s), ei, dist, 4.0, use_native=True)
+        b = compute_threebody(len(s), ei, dist, 4.0, use_native=False)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

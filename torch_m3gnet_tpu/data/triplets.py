@@ -26,8 +26,14 @@ def compute_threebody(
     edge_index: np.ndarray,
     distances: np.ndarray,
     threebody_cutoff: float,
+    use_native: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Enumerate ordered same-source edge pairs within the 3-body cutoff.
+
+    Dispatches to the C++ enumerator (native/neighbor.cpp: m3g_threebody,
+    ~40x the vectorized numpy path at T~600k — the dominant host cost of
+    MD/relaxation neighbor-list rebuilds) when the toolchain is available;
+    identical output order either way. ``use_native=False`` forces numpy.
 
     Args:
         num_nodes: N.
@@ -45,6 +51,16 @@ def compute_threebody(
     edge_index = np.asarray(edge_index)
     distances = np.asarray(distances)
     num_edges = edge_index.shape[1]
+
+    if use_native is None or use_native:
+        from torch_m3gnet_tpu import native
+
+        if native.native_available():
+            return native.threebody_native(
+                num_nodes, edge_index, distances, threebody_cutoff
+            )
+        if use_native:
+            raise RuntimeError("native threebody requested but unavailable")
 
     valid = distances <= threebody_cutoff
     valid_ids = np.nonzero(valid)[0]  # indices into the full edge list

@@ -48,6 +48,19 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int64),  # shift
                 ctypes.POINTER(ctypes.c_double),  # dist
             ]
+            lib.m3g_threebody.restype = ctypes.c_int64
+            lib.m3g_threebody.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),  # edge_src
+                ctypes.POINTER(ctypes.c_double),  # dist
+                ctypes.c_int64,  # num_nodes
+                ctypes.c_int64,  # num_edges
+                ctypes.c_double,  # cutoff
+                ctypes.c_int64,  # cap
+                ctypes.POINTER(ctypes.c_int64),  # e1
+                ctypes.POINTER(ctypes.c_int64),  # e2
+                ctypes.POINTER(ctypes.c_int64),  # per_node
+                ctypes.POINTER(ctypes.c_int64),  # per_edge
+            ]
             _LIB = lib
         except Exception:
             _BUILD_FAILED = True
@@ -104,3 +117,43 @@ def neighbor_list_native(
             )
         cap = -got + 64
     raise RuntimeError("neighbor list capacity negotiation failed")
+
+
+def threebody_native(
+    num_nodes: int,
+    edge_index: np.ndarray,
+    distances: np.ndarray,
+    threebody_cutoff: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Triplet enumeration; same contract as data.triplets.compute_threebody."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.ascontiguousarray(np.asarray(edge_index)[0], dtype=np.int64)
+    dist = np.ascontiguousarray(distances, dtype=np.float64)
+    num_edges = src.shape[0]
+
+    # Exact-size first pass: T = sum d*(d-1) with d from a numpy bincount —
+    # cheap at E scale, avoids capacity negotiation entirely.
+    deg = np.bincount(src[dist <= threebody_cutoff], minlength=num_nodes)
+    cap = int((deg * (deg - 1)).sum())
+
+    e1 = np.empty(cap, dtype=np.int64)
+    e2 = np.empty(cap, dtype=np.int64)
+    per_node = np.empty(num_nodes, dtype=np.int64)
+    per_edge = np.empty(num_edges, dtype=np.int64)
+    got = lib.m3g_threebody(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        num_nodes,
+        num_edges,
+        float(threebody_cutoff),
+        cap,
+        e1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        e2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        per_node.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        per_edge.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if got != cap:
+        raise RuntimeError(f"threebody_native size mismatch: {got} != {cap}")
+    return np.stack([e1, e2]), per_node, per_edge

@@ -183,3 +183,61 @@ extern "C" int64_t m3g_neighbor_list(const double* lattice, const double* pos,
   }
   return count <= cap ? count : -count;
 }
+
+// Three-body (triplet) index enumeration: all ordered pairs of distinct
+// edges sharing a source node, both within the 3-body cutoff. Native
+// replacement for the vectorized-numpy path in data/triplets.py (itself a
+// re-derivation of the reference's pure-Python loop,
+// /root/reference/src/torch_m3gnet/data/material_graph.py:196-254).
+//
+// Emission order matches the numpy path exactly: participating edges of a
+// node keep ascending edge-id order; pairs emitted as (j-slot major,
+// k-slot minor, k != j). Returns T, or -(needed) if cap was insufficient.
+extern "C" int64_t m3g_threebody(const int64_t* edge_src,
+                                 const double* dist, int64_t num_nodes,
+                                 int64_t num_edges, double cutoff,
+                                 int64_t cap, int64_t* out_e1,
+                                 int64_t* out_e2, int64_t* out_per_node,
+                                 int64_t* out_per_edge) {
+  // Counting sort of participating edges by source (stable: edge ids stay
+  // ascending within a node regardless of provider ordering).
+  std::vector<int64_t> deg(num_nodes, 0);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    out_per_edge[e] = 0;
+    if (dist[e] <= cutoff) ++deg[edge_src[e]];
+  }
+  std::vector<int64_t> start(num_nodes + 1, 0);
+  for (int64_t i = 0; i < num_nodes; ++i) start[i + 1] = start[i] + deg[i];
+  std::vector<int64_t> slots(start[num_nodes]);
+  {
+    std::vector<int64_t> fill(start.begin(), start.end() - 1);
+    for (int64_t e = 0; e < num_edges; ++e)
+      if (dist[e] <= cutoff) slots[fill[edge_src[e]]++] = e;
+  }
+
+  int64_t total = 0;
+  for (int64_t i = 0; i < num_nodes; ++i) {
+    const int64_t d = deg[i];
+    out_per_node[i] = d * (d - 1);
+    total += d * (d - 1);
+  }
+  if (total > cap) return -total;
+
+  int64_t t = 0;
+  for (int64_t i = 0; i < num_nodes; ++i) {
+    const int64_t lo = start[i], hi = start[i + 1];
+    const int64_t d = hi - lo;
+    if (d < 2) continue;
+    for (int64_t j = lo; j < hi; ++j) {
+      out_per_edge[slots[j]] = d - 1;
+      const int64_t e1 = slots[j];
+      for (int64_t k = lo; k < hi; ++k) {
+        if (k == j) continue;
+        out_e1[t] = e1;
+        out_e2[t] = slots[k];
+        ++t;
+      }
+    }
+  }
+  return t;
+}
