@@ -118,6 +118,39 @@ def test_graph_parallel_training_gradients(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
 
 
+def test_graph_parallel_fused_triplets_matches(mesh):
+    """Fused Pallas triplet stage inside the gp halo path (interpret mode):
+    E/F/S equals the XLA aggregation on the same partitioned graph."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = _big_structure(seed=2)
+    g = graph_from_structure(s, 5.0, 4.0)
+    sharded = partition_graph(g, 4)
+
+    pot = build_model(CONFIG)
+    single = pad_batch(g, g.num_nodes, g.num_edges, g.num_triplets, 1)
+    params = pot.init(jax.random.PRNGKey(0), single)
+
+    gp = GraphParallelPotential(pot.model, mesh)
+    ref = gp.apply(params, sharded)
+
+    pot_f = build_model(CONFIG.replace(fused_triplets="on"))
+    gp_f = GraphParallelPotential(pot_f.model, mesh)
+    with pltpu.force_tpu_interpret_mode():
+        out = gp_f.apply(params, sharded)
+
+    n = g.num_nodes
+    np.testing.assert_allclose(
+        float(out.energy[0]), float(ref.energy[0]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.forces)[:n], np.asarray(ref.forces)[:n], atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.stress)[0], np.asarray(ref.stress)[0], atol=5e-6
+    )
+
+
 def test_dp_gp_composed_loss_matches_mean_of_gp_losses():
     """2-D dp x gp mesh: the composed loss is the dp-mean of per-graph gp losses,
     and its gradient is the mean of per-graph gradients."""

@@ -112,7 +112,7 @@ class M3GNet(nn.Module):
     remat_triplets: bool = False
     # Fused Pallas triplet stage (ops/pallas_fused_triplet.py): gate gather +
     # basis product + segment sum in one kernel, T-scale data touched once.
-    # Single-device only (the gp halo path keeps the XLA aggregation).
+    # Composes with the gp halo path (gate all_gather'd first, kernel local).
     fused_triplets: bool = False
 
     @nn.compact
@@ -192,7 +192,7 @@ class M3GNet(nn.Module):
             node_k = _gather(graph.edge_dst, graph.triplet_e2)
 
         # --- interaction blocks ------------------------------------------
-        if self.fused_triplets and self.halo_axis is None:
+        if self.fused_triplets:
             from torch_m3gnet_tpu.ops.pallas_fused_triplet import (
                 fused_triplet_gate_sum,
             )
@@ -206,7 +206,13 @@ class M3GNet(nn.Module):
             def triplet_aggregate(basis, gate):
                 # gate pre-gathered node->edge (E-scale, cheap); the kernel's
                 # T-scale e2 access is then window-local by the triplet
-                # enumeration invariant.
+                # enumeration invariant. Under graph parallelism the gate is
+                # halo-exchanged first (edge_dst ids are global), exactly like
+                # gather_nodes — the kernel itself stays shard-local.
+                if self.halo_axis is not None:
+                    gate = jax.lax.all_gather(
+                        gate, self.halo_axis, axis=0, tiled=True
+                    )
                 gate_e_fm = _gather(gate, graph.edge_dst).T.astype(jnp.float32)
                 out_fm = fused_triplet_gate_sum(
                     basis, gate_e_fm, e1, e2, graph.num_edges

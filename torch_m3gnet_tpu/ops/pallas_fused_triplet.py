@@ -52,9 +52,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TT = 1024  # triplets per tile
-WG = 512  # gate-window chunk (multiple of 128)
-EB = 512  # output-window chunk (multiple of 128)
+# Tile sizes from an on-chip sweep (benchmarks, v5e, MPF-scale fwd+vjp):
+# (512, 256, 256) beat (1024, 512, 512) by ~6% — smaller windows cut the
+# one-hot matmul FLOPs (which scale with chunk size) faster than the extra
+# per-tile overhead costs.
+TT = 512  # triplets per tile
+WG = 256  # gate-window chunk (multiple of 128)
+EB = 256  # output-window chunk (multiple of 128)
 
 
 def _split(x):
@@ -202,6 +206,24 @@ def _pad_fm(x, lnp, cols):
     return jnp.pad(x, ((0, lnp - ln), (0, cols - c)))
 
 
+def _vma(*xs):
+    """Union of the operands' varying-mesh-axes sets: under jax.shard_map with
+    check_vma, pallas out_shapes must declare how outputs vary across the mesh
+    (here: exactly as the inputs do — the kernel is shard-local)."""
+    out = frozenset()
+    for x in xs:
+        out |= frozenset(getattr(jax.typeof(x), "vma", None) or ())
+    return out
+
+
+def _match_vma(x, vma):
+    """pvary ``x`` up to ``vma`` so kernel operands (incl. created zeros/fills)
+    agree on varying axes under check_vma."""
+    have = frozenset(getattr(jax.typeof(x), "vma", None) or ())
+    missing = tuple(vma - have)
+    return jax.lax.pvary(x, missing) if missing else x
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_triplet_gate_sum(
     basis_fm: jnp.ndarray,  # (LN, T) f32, feature-major, padded triplets zeroed
@@ -220,10 +242,12 @@ def _forward(basis_fm, gate_e_fm, e1, e2, num_edges):
 
     ln, t = basis_fm.shape
     lnp = -(-ln // 8) * 8
+    vma = _vma(basis_fm, gate_e_fm, e1, e2)
+    e1, e2 = _match_vma(e1, vma), _match_vma(e2, vma)
     e1, e2, e1lo, e1hi, e2lo, e2hi, n_tiles, t_pad, e_pad = _prep(e1, e2, num_edges)
-    basis_fm = _pad_fm(basis_fm.astype(jnp.float32), lnp, t_pad)
-    gate_fm = _pad_fm(gate_e_fm.astype(jnp.float32), lnp, e_pad)
-    zeros = jnp.zeros((lnp, e_pad), jnp.float32)
+    basis_fm = _pad_fm(_match_vma(basis_fm, vma).astype(jnp.float32), lnp, t_pad)
+    gate_fm = _pad_fm(_match_vma(gate_e_fm, vma).astype(jnp.float32), lnp, e_pad)
+    zeros = _match_vma(jnp.zeros((lnp, e_pad), jnp.float32), vma)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -246,7 +270,7 @@ def _forward(basis_fm, gate_e_fm, e1, e2, num_edges):
     out = pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((lnp, e_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((lnp, e_pad), jnp.float32, vma=vma),
         input_output_aliases={8: 0},  # zeros (4 prefetch + 5th operand) -> out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
@@ -313,11 +337,13 @@ def _backward(basis_fm, gate_e_fm, e1, e2, num_edges, g):
 
     ln, t = basis_fm.shape
     lnp = -(-ln // 8) * 8
+    vma = _vma(basis_fm, gate_e_fm, g, e1, e2)
+    e1, e2 = _match_vma(e1, vma), _match_vma(e2, vma)
     e1, e2, e1lo, e1hi, e2lo, e2hi, n_tiles, t_pad, e_pad = _prep(e1, e2, num_edges)
-    basis_p = _pad_fm(basis_fm.astype(jnp.float32), lnp, t_pad)
-    gate_p = _pad_fm(gate_e_fm.astype(jnp.float32), lnp, e_pad)
-    g_p = _pad_fm(g.astype(jnp.float32), lnp, e_pad)
-    dgate_zeros = jnp.zeros((lnp, e_pad), jnp.float32)
+    basis_p = _pad_fm(_match_vma(basis_fm, vma).astype(jnp.float32), lnp, t_pad)
+    gate_p = _pad_fm(_match_vma(gate_e_fm, vma).astype(jnp.float32), lnp, e_pad)
+    g_p = _pad_fm(_match_vma(g, vma).astype(jnp.float32), lnp, e_pad)
+    dgate_zeros = _match_vma(jnp.zeros((lnp, e_pad), jnp.float32), vma)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -345,8 +371,8 @@ def _backward(basis_fm, gate_e_fm, e1, e2, num_edges, g):
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((lnp, t_pad), jnp.float32),
-            jax.ShapeDtypeStruct((lnp, e_pad), jnp.float32),
+            jax.ShapeDtypeStruct((lnp, t_pad), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((lnp, e_pad), jnp.float32, vma=vma),
         ],
         input_output_aliases={9: 1},  # dgate_zeros (4 prefetch + 6th) -> d_gate
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
