@@ -123,3 +123,17 @@ def test_padding_tail_is_ignored():
     ).astype(np.int32)
     mask = np.concatenate([np.ones(240), np.zeros(700)]).astype(np.float32)
     _check(e1, e2, 100, mask, ln=4, seed=5)
+
+
+def test_windowed_path_matches_resident():
+    """Force the DMA-windowed path (used when gate/out exceed the VMEM
+    residency budget) and check it against the resident path."""
+    import torch_m3gnet_tpu.ops.pallas_fused_triplet as ft
+
+    e1, e2, num_edges, mask = _real_indices()
+    old = ft.VMEM_RESIDENT_BYTES
+    ft.VMEM_RESIDENT_BYTES = 0
+    try:
+        _check(e1, e2, num_edges, mask, seed=9)
+    finally:
+        ft.VMEM_RESIDENT_BYTES = old

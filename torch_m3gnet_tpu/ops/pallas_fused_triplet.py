@@ -60,6 +60,13 @@ TT = 512  # triplets per tile
 WG = 256  # gate-window chunk (multiple of 128)
 EB = 256  # output-window chunk (multiple of 128)
 
+# The windowed path DMAs gate/output chunks per tile (hundreds of small
+# latency-bound copies). When the full (LNp, E_pad) gate and output fit in
+# VMEM, the resident path instead pins BOTH as whole-array blocks with a
+# constant index map (loaded once, written back once — zero manual DMA in the
+# hot loop) and replaces every copy with a VMEM dynamic slice.
+VMEM_RESIDENT_BYTES = 4 * 1024 * 1024  # per (LNp, E_pad) f32 buffer
+
 
 def _split(x):
     """bf16 hi/lo split: x == hi + lo exactly, both exactly representable."""
@@ -133,6 +140,86 @@ def _scatter_window(idx, lo, hi, vals, hbm_ref, scratch, sem, chunk):
         return 0
 
     jax.lax.fori_loop(0, nch, body, 0)
+
+
+def _gather_res(idx, lo, hi, ref, chunk):
+    """VMEM-resident variant of _gather_window: direct dynamic slices."""
+    from jax.experimental import pallas as pl
+
+    nch = (hi - lo) // chunk + 1
+    lnp = ref.shape[0]
+    tt = idx.shape[0]
+
+    def body(c, acc):
+        base = pl.multiple_of(lo + c * chunk, 128)
+        win = ref[:, pl.ds(base, chunk)]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tt, chunk), 1) + base
+        onehot = (idx[:, None] == cols).astype(jnp.float32)
+        w_hi, w_lo = _split(win)
+        return acc + _dot(w_hi, onehot, ((1,), (1,))) + _dot(w_lo, onehot, ((1,), (1,)))
+
+    return jax.lax.fori_loop(0, nch, body, jnp.zeros((lnp, tt), jnp.float32))
+
+
+def _scatter_res(idx, lo, hi, vals, out_ref, chunk):
+    """VMEM-resident variant of _scatter_window: in-place VMEM accumulate."""
+    from jax.experimental import pallas as pl
+
+    nch = (hi - lo) // chunk + 1
+    tt = idx.shape[0]
+    v_hi, v_lo = _split(vals)
+
+    def body(c, _):
+        base = pl.multiple_of(lo + c * chunk, 128)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tt, chunk), 1) + base
+        onehot = (idx[:, None] == cols).astype(jnp.float32)
+        partial = _dot(v_hi, onehot, ((1,), (0,))) + _dot(v_lo, onehot, ((1,), (0,)))
+        out_ref[:, pl.ds(base, chunk)] = out_ref[:, pl.ds(base, chunk)] + partial
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+
+def _fwd_kernel_res(
+    e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
+    e1_ref, e2_ref, basis_ref, gate_ref,
+    out_ref,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    e1 = e1_ref[:, 0]
+    e2 = e2_ref[:, 0]
+    gathered = _gather_res(e2, e2lo_ref[i], e2hi_ref[i], gate_ref, WG)
+    msg = basis_ref[:] * gathered
+    _scatter_res(e1, e1lo_ref[i], e1hi_ref[i], msg, out_ref, EB)
+
+
+def _bwd_kernel_res(
+    e1lo_ref, e1hi_ref, e2lo_ref, e2hi_ref,
+    e1_ref, e2_ref, basis_ref, gate_ref, g_ref,
+    dbasis_ref, dgate_ref,
+):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgate_ref[:] = jnp.zeros_like(dgate_ref)
+
+    e1 = e1_ref[:, 0]
+    e2 = e2_ref[:, 0]
+    ggath = _gather_res(e1, e1lo_ref[i], e1hi_ref[i], g_ref, EB)
+    gathered = _gather_res(e2, e2lo_ref[i], e2hi_ref[i], gate_ref, WG)
+    dbasis_ref[:] = ggath * gathered
+    m2 = ggath * basis_ref[:]
+    _scatter_res(e2, e2lo_ref[i], e2hi_ref[i], m2, dgate_ref, WG)
 
 
 def _fwd_kernel(
@@ -247,8 +334,32 @@ def _forward(basis_fm, gate_e_fm, e1, e2, num_edges):
     e1, e2, e1lo, e1hi, e2lo, e2hi, n_tiles, t_pad, e_pad = _prep(e1, e2, num_edges)
     basis_fm = _pad_fm(_match_vma(basis_fm, vma).astype(jnp.float32), lnp, t_pad)
     gate_fm = _pad_fm(_match_vma(gate_e_fm, vma).astype(jnp.float32), lnp, e_pad)
-    zeros = _match_vma(jnp.zeros((lnp, e_pad), jnp.float32), vma)
 
+    if lnp * e_pad * 4 <= VMEM_RESIDENT_BYTES:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((TT, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TT, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lnp, TT), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lnp, e_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (lnp, e_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        out = pl.pallas_call(
+            _fwd_kernel_res,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((lnp, e_pad), jnp.float32, vma=vma),
+        )(
+            e1lo, e1hi, e2lo, e2hi,
+            e1.reshape(-1, 1), e2.reshape(-1, 1), basis_fm, gate_fm,
+        )
+        return out[:ln, :num_edges]
+
+    zeros = _match_vma(jnp.zeros((lnp, e_pad), jnp.float32), vma)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_tiles,),
@@ -343,6 +454,38 @@ def _backward(basis_fm, gate_e_fm, e1, e2, num_edges, g):
     basis_p = _pad_fm(_match_vma(basis_fm, vma).astype(jnp.float32), lnp, t_pad)
     gate_p = _pad_fm(_match_vma(gate_e_fm, vma).astype(jnp.float32), lnp, e_pad)
     g_p = _pad_fm(_match_vma(g, vma).astype(jnp.float32), lnp, e_pad)
+
+    if lnp * e_pad * 4 <= VMEM_RESIDENT_BYTES:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((TT, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TT, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lnp, TT), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lnp, e_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((lnp, e_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((lnp, TT), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (lnp, e_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+        )
+        d_basis, d_gate = pl.pallas_call(
+            _bwd_kernel_res,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((lnp, t_pad), jnp.float32, vma=vma),
+                jax.ShapeDtypeStruct((lnp, e_pad), jnp.float32, vma=vma),
+            ],
+        )(
+            e1lo, e1hi, e2lo, e2hi,
+            e1.reshape(-1, 1), e2.reshape(-1, 1), basis_p, gate_p, g_p,
+        )
+        return d_basis[:ln, :t], d_gate[:ln, :num_edges]
+
     dgate_zeros = _match_vma(jnp.zeros((lnp, e_pad), jnp.float32), vma)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
