@@ -6,6 +6,7 @@ from torch_m3gnet_tpu.parallel.dp import (
 )
 from torch_m3gnet_tpu.parallel.graph_shard import (
     GraphParallelPotential,
+    GraphParallelTrainer,
     partition_graph,
     stack_partitions,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "shard_stack",
     "unshard",
     "GraphParallelPotential",
+    "GraphParallelTrainer",
     "partition_graph",
     "stack_partitions",
 ]

@@ -353,6 +353,16 @@ class GraphParallelPotential:
         energy, forces, stress = self._japply(params, sharded)
         return self._unpack(energy, forces, stress, sharded)
 
+    def init(self, rng, sharded: GraphBatch):
+        """Init params from one shard's static shapes. Uses a halo-free clone
+        (the halo all_gather needs a bound mesh axis; the param structure is
+        identical) — params are replicated across the mesh."""
+        strip = sharded
+        while np.asarray(strip.positions).ndim > 2:
+            strip = jax.tree.map(lambda x: x[0], strip)
+        r_vec = jnp.zeros((strip.num_edges, 3), np.asarray(strip.positions).dtype)
+        return self.model.clone(halo_axis=None).init(rng, strip, r_vec)
+
     def _unpack(self, energy, forces, stress, sharded):
         stress = jnp.reshape(stress, (-1, 6))[:1]
         forces = jnp.reshape(forces, (-1, 3))
@@ -364,3 +374,74 @@ class GraphParallelPotential:
             energy_per_atom=jnp.asarray(energy) / n,
             atomic_energy=jnp.zeros(forces.shape[0], forces.dtype),
         )
+
+
+class GraphParallelTrainer:
+    """Optimizer-integrated training over partitioned graphs (gp or dp x gp).
+
+    The graph-parallel counterpart of :class:`torch_m3gnet_tpu.parallel.dp.
+    DataParallel`: same Adam(eps=1e-7) + injected-lr chain as the single-chip
+    Trainer (reference schedule: litmodule.py:168-183), with the loss/grads
+    flowing through the halo collectives (see :meth:`GraphParallelPotential.
+    make_loss`). Batches are single huge graphs partitioned by
+    :func:`partition_graph` (one graph per step) or stacks from
+    :func:`stack_partitions` (``dp_axis`` set: one graph per dp row per step).
+    Checkpointing is orbax, same layout as the single-chip Trainer.
+    """
+
+    def __init__(self, potential, config, mesh: Mesh, axis: str = "gp",
+                 dp_axis: Optional[str] = None):
+        import optax
+
+        from torch_m3gnet_tpu.train.loop import TrainState, Trainer
+
+        self.potential = GraphParallelPotential(potential.model, mesh, axis)
+        self.config = config
+        self.dp_axis = dp_axis
+        self.opt = optax.chain(
+            optax.scale_by_adam(eps=1e-7),
+            optax.inject_hyperparams(optax.scale)(step_size=-config.learning_rate),
+        )
+        loss_fn = self.potential.make_loss(config, dp_axis=dp_axis)
+        opt = self.opt
+        set_lr = Trainer._set_lr
+        self._TrainState = TrainState
+
+        def step(params, opt_state, sharded, lr):
+            loss, grads = jax.value_and_grad(lambda p: loss_fn(p, sharded))(params)
+            opt_state = set_lr(opt_state, lr)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step = jax.jit(step)
+        self._loss = jax.jit(loss_fn)
+
+    def init_state(self, rng, sharded: GraphBatch):
+        params = self.potential.init(rng, sharded)
+        return self._TrainState(params=params, opt_state=self.opt.init(params))
+
+    def train_step(self, state, sharded: GraphBatch, lr):
+        params, opt_state, loss = self._step(
+            state.params, state.opt_state, sharded, jnp.asarray(lr)
+        )
+        return (
+            self._TrainState(
+                params=params, opt_state=opt_state,
+                epoch=state.epoch, step=state.step + 1,
+            ),
+            {"loss": loss},
+        )
+
+    def eval_loss(self, params, sharded: GraphBatch):
+        return self._loss(params, sharded)
+
+    def save_checkpoint(self, ckpt_dir: str, state, tag: str = "last"):
+        from torch_m3gnet_tpu.train.loop import Trainer
+
+        Trainer.save_checkpoint(self, ckpt_dir, state, tag)
+
+    def restore_checkpoint(self, ckpt_dir: str, example_state, tag: str = "last"):
+        from torch_m3gnet_tpu.train.loop import Trainer
+
+        return Trainer.restore_checkpoint(self, ckpt_dir, example_state, tag)
