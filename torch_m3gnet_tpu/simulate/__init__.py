@@ -1,4 +1,20 @@
 from torch_m3gnet_tpu.simulate.md import MDConfig, MDResult, run_md
+from torch_m3gnet_tpu.simulate.observables import (
+    diffusion_coefficient,
+    mean_squared_displacement,
+    radial_distribution,
+    write_extxyz,
+)
 from torch_m3gnet_tpu.simulate.relax import FireConfig, relax_structures
 
-__all__ = ["FireConfig", "relax_structures", "MDConfig", "MDResult", "run_md"]
+__all__ = [
+    "FireConfig",
+    "relax_structures",
+    "MDConfig",
+    "MDResult",
+    "run_md",
+    "radial_distribution",
+    "mean_squared_displacement",
+    "diffusion_coefficient",
+    "write_extxyz",
+]

@@ -79,6 +79,9 @@ class MDConfig:
     rebuild_every: int = 20
     skin: float = 0.3  # A; topology valid while no atom moves > skin/2
     seed: int = 0
+    # Record per-step unwrapped positions (MDResult.trajectories) for
+    # observables (simulate/observables.py: RDF, MSD, extxyz writer).
+    record_trajectory: bool = False
 
     def __post_init__(self):
         if self.ensemble not in ("nve", "nvt"):
@@ -92,6 +95,9 @@ class MDResult:
     kinetic: np.ndarray  # (n_frames, B) kinetic energy, eV
     temperatures: np.ndarray  # (n_frames, B) instantaneous T, K
     times: np.ndarray  # (n_frames,) fs
+    # per-structure (n_frames, n_i, 3) unwrapped positions when
+    # record_trajectory is set, else None
+    trajectories: Optional[list] = None
 
 
 def maxwell_boltzmann_velocities(
@@ -140,7 +146,7 @@ def _md_inner(
         return segment_sum(ke_i, node_graph, nb)  # (B,)
 
     def body(i, state):
-        pos, vel, f, key, e_log, ke_log = state
+        pos, vel, f, key, e_log, ke_log, p_log = state
         acc = f / masses * FORCE_TO_ACC  # A/fs^2
 
         if cfg.ensemble == "nve":
@@ -166,19 +172,26 @@ def _md_inner(
         vel = vel * nmask
         e_log = e_log.at[i].set(e_pot)
         ke_log = ke_log.at[i].set(kinetic_of(vel))
-        return pos, vel, f_new, key, e_log, ke_log
+        if cfg.record_trajectory:
+            p_log = p_log.at[i].set(pos)
+        return pos, vel, f_new, key, e_log, ke_log, p_log
 
     pos0 = jnp.asarray(batch.positions)
     vel0 = jnp.asarray(vel0, dtype=pos0.dtype)
     f0, _ = forces_energy(pos0)
     key0 = jnp.asarray(key0, dtype=jnp.uint32)
+    # trajectory log only materializes when recording (dummy 0-size otherwise)
+    p_shape = (n_steps,) + pos0.shape if cfg.record_trajectory else (0, 0, 3)
     state0 = (
         pos0, vel0, f0, key0,
         jnp.zeros((n_steps, nb), pos0.dtype),
         jnp.zeros((n_steps, nb), pos0.dtype),
+        jnp.zeros(p_shape, pos0.dtype),
     )
-    pos, vel, _, key, e_log, ke_log = jax.lax.fori_loop(0, n_steps, body, state0)
-    return pos, vel, e_log, ke_log, key
+    pos, vel, _, key, e_log, ke_log, p_log = jax.lax.fori_loop(
+        0, n_steps, body, state0
+    )
+    return pos, vel, e_log, ke_log, key, p_log
 
 
 def run_md(
@@ -219,7 +232,7 @@ def run_md(
 
     positions = [s.cart_coords.copy() for s in structures]
     n_outer = (config.n_steps + config.rebuild_every - 1) // config.rebuild_every
-    e_all, ke_all = [], []
+    e_all, ke_all, traj_all = [], [], []
     key = np.asarray(jax.random.PRNGKey(config.seed), dtype=np.uint32)
     nsys = len(structures)
 
@@ -246,11 +259,13 @@ def run_md(
         vel_pad = np.zeros((batch.num_nodes, 3))
         vel_pad[: len(vel_cat)] = vel_cat
 
-        pos, vel, e_log, ke_log, key = inner(batch, vel_pad, key, n_steps)
+        pos, vel, e_log, ke_log, key, p_log = inner(batch, vel_pad, key, n_steps)
         pos, vel = np.asarray(pos), np.asarray(vel)
         key = np.asarray(key, dtype=np.uint32)
         e_all.append(np.asarray(e_log)[:, :nsys])
         ke_all.append(np.asarray(ke_log)[:, :nsys])
+        if config.record_trajectory:
+            traj_all.append(np.asarray(p_log))
 
         off = 0
         for i, g in enumerate(graphs):
@@ -270,10 +285,20 @@ def run_md(
         )
         for s, p, v in zip(structures, positions, velocities)
     ]
+    trajectories = None
+    if config.record_trajectory:
+        # chunks may have different node padding; slice each structure's block
+        trajectories = []
+        offs = np.cumsum([0] + [len(s) for s in structures])
+        for i in range(nsys):
+            parts = [t[:, offs[i] : offs[i + 1]] for t in traj_all]
+            trajectories.append(np.concatenate(parts, axis=0))
+
     return MDResult(
         structures=final,
         energies=energies,
         kinetic=kinetic,
         temperatures=temperatures,
         times=np.arange(1, config.n_steps + 1) * config.dt,
+        trajectories=trajectories,
     )
