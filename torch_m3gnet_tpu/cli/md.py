@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--rebuild-every", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--traj-out",
+        default=None,
+        help="write per-structure extended-XYZ trajectories to "
+        "<traj-out>.<i>.extxyz (records every step)",
+    )
     args = ap.parse_args()
 
     from torch_m3gnet_tpu.config import M3GNetConfig
@@ -85,8 +91,18 @@ def main() -> None:
             friction=args.friction,
             rebuild_every=args.rebuild_every,
             seed=args.seed,
+            record_trajectory=args.traj_out is not None,
         ),
     )
+
+    if args.traj_out is not None:
+        from torch_m3gnet_tpu.simulate import write_extxyz
+
+        for i, (s, traj) in enumerate(zip(structures, res.trajectories)):
+            write_extxyz(
+                f"{args.traj_out}.{i}.extxyz", s, traj,
+                energies=res.energies[:, i], times=res.times,
+            )
     out = {
         "structures": [
             {
