@@ -107,3 +107,17 @@ def test_md_batched_matches_single(pot_params):
         res_pair.structures[0].cart_coords,
         res_pair.structures[1].cart_coords,
     )
+
+
+def test_temperature_dof_com_correction(pot_params):
+    """NVE reports T with 3N-3 dof (COM momentum frozen by drift-removed
+    init); NVT-Langevin keeps 3N (thermostat breaks momentum conservation)."""
+    pot, params, s = pot_params
+    for ensemble, dof_of in (("nve", lambda n: 3 * n - 3), ("nvt", lambda n: 3 * n)):
+        cfg = MDConfig(dt=0.5, n_steps=4, ensemble=ensemble, temperature=100.0,
+                       rebuild_every=4, seed=3)
+        res = run_md(pot, params, [s], 5.0, 4.0, config=cfg, pad_multiple=64,
+                     dtype=np.float64)
+        n = len(res.structures[0])
+        want = 2.0 * res.kinetic / (dof_of(n) * KB)
+        np.testing.assert_allclose(res.temperatures, want, rtol=1e-6)

@@ -243,12 +243,14 @@ def sharded_batch_iterator(
                 bucket.max_graphs,
             )
             if len(sel) == 0:
-                # no real graphs for this shard — zero every mask
+                # no real graphs for this shard — zero every mask (and the
+                # real-graph count, so metric/grad weighting ignores it)
                 padded = padded.replace(
                     node_mask=np.zeros_like(np.asarray(padded.node_mask)),
                     edge_mask=np.zeros_like(np.asarray(padded.edge_mask)),
                     triplet_mask=np.zeros_like(np.asarray(padded.triplet_mask)),
                     graph_mask=np.zeros_like(np.asarray(padded.graph_mask)),
+                    num_graphs_real=0,
                 )
             shards.append(padded)
         yield shard_stack(shards)

@@ -86,8 +86,19 @@ class DataParallel:
             shard_batch = jax.tree.map(lambda x: x[0], stacked_batch)
             grad_fn = jax.value_and_grad(shard_loss, has_aux=True)
             (loss, metrics), grads = grad_fn(params, shard_batch)
-            grads = jax.lax.pmean(grads, self.axis)
-            metrics = jax.lax.pmean(metrics, self.axis)
+            # Weight by real graphs per shard: a short tail batch leaves some
+            # shards fully padded (zero loss/grads) — an unweighted pmean
+            # would dilute both the update and the logged metrics.
+            w = jnp.asarray(shard_batch.graph_mask, jnp.float32).sum()
+            w_total = jnp.maximum(jax.lax.psum(w, self.axis), 1.0)
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g * (w / w_total).astype(g.dtype), self.axis),
+                grads,
+            )
+            metrics = jax.tree.map(
+                lambda m: jax.lax.psum(m * (w / w_total).astype(m.dtype), self.axis),
+                metrics,
+            )
             from torch_m3gnet_tpu.train.loop import Trainer as _T
 
             opt_state = _T._set_lr(opt_state, lr)
@@ -104,7 +115,12 @@ class DataParallel:
         def _eval(params, stacked_batch):
             shard_batch = jax.tree.map(lambda x: x[0], stacked_batch)
             _, metrics = shard_loss(params, shard_batch)
-            return jax.lax.pmean(metrics, self.axis)
+            w = jnp.asarray(shard_batch.graph_mask, jnp.float32).sum()
+            w_total = jnp.maximum(jax.lax.psum(w, self.axis), 1.0)
+            return jax.tree.map(
+                lambda m: jax.lax.psum(m * (w / w_total).astype(m.dtype), self.axis),
+                metrics,
+            )
 
         self._step = jax.jit(_step)
         self._eval = jax.jit(_eval)

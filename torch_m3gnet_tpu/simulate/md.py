@@ -276,7 +276,10 @@ def run_md(
 
     energies = np.concatenate(e_all, axis=0)
     kinetic = np.concatenate(ke_all, axis=0)
-    dof = np.array([3.0 * len(s) for s in structures])
+    # NVE conserves total momentum (drift-removed init), so 3 COM dof are
+    # frozen: dof = 3N - 3. Langevin kicks break momentum conservation -> 3N.
+    com_dof = 3.0 if config.ensemble == "nve" else 0.0
+    dof = np.array([max(3.0 * len(s) - com_dof, 3.0) for s in structures])
     temperatures = 2.0 * kinetic / (dof * KB)
     final = [
         Structure(

@@ -177,14 +177,18 @@ class Trainer:
 
     @staticmethod
     def _set_lr(opt_state, lr):
-        """Set the injected step size (handles MultiSteps wrapping)."""
+        """Set the injected step size (handles MultiSteps wrapping).
 
-        def setter(s):
-            return s
+        Raises at trace time if no ``inject_hyperparams(scale)`` state is
+        found, so a changed optax chain cannot silently freeze the lr at its
+        init value (the schedule would otherwise become a no-op).
+        """
+        hits = 0
 
-        # opt_state is a chain tuple: (adam_state, InjectHyperparamsState)
         def replace_inject(state):
+            nonlocal hits
             if hasattr(state, "hyperparams") and "step_size" in state.hyperparams:
+                hits += 1
                 hp = dict(state.hyperparams)
                 hp["step_size"] = -lr
                 return state._replace(hyperparams=hp)
@@ -192,8 +196,16 @@ class Trainer:
 
         if hasattr(opt_state, "inner_opt_state"):  # MultiSteps
             inner = tuple(replace_inject(s) for s in opt_state.inner_opt_state)
-            return opt_state._replace(inner_opt_state=inner)
-        return tuple(replace_inject(s) for s in opt_state)
+            out = opt_state._replace(inner_opt_state=inner)
+        else:
+            out = tuple(replace_inject(s) for s in opt_state)
+        if hits != 1:
+            raise ValueError(
+                f"_set_lr found {hits} inject_hyperparams(step_size) states in the "
+                "optimizer chain (expected exactly 1) — the lr schedule would not "
+                "be applied; check the optax chain construction"
+            )
+        return out
 
     def init_state(self, rng, example_batch: GraphBatch) -> TrainState:
         params = self.potential.init(rng, example_batch)
@@ -233,7 +245,10 @@ class Trainer:
             acc = MetricAccumulator()
             for batch in train_batches(epoch):
                 state, metrics = self.train_step(state, batch, jnp.asarray(lr))
-                acc.update({k: float(v) for k, v in metrics.items()})
+                acc.update(
+                    {k: float(v) for k, v in metrics.items()},
+                    weight=max(batch.num_graphs_real, 1),
+                )
             train_metrics = acc.compute()
             state = state.replace(epoch=epoch + 1)
 
@@ -248,7 +263,8 @@ class Trainer:
                 vacc = MetricAccumulator()
                 for batch in val_batches():
                     vacc.update(
-                        {k: float(v) for k, v in self.eval_step(state.params, batch).items()}
+                        {k: float(v) for k, v in self.eval_step(state.params, batch).items()},
+                        weight=max(batch.num_graphs_real, 1),
                     )
                 val_metrics = vacc.compute()
                 row.update({f"val_{k}": v for k, v in val_metrics.items()})
@@ -294,7 +310,10 @@ class Trainer:
     def evaluate(self, params, batches: Iterable[GraphBatch]) -> dict[str, float]:
         acc = MetricAccumulator()
         for batch in batches:
-            acc.update({k: float(v) for k, v in self.eval_step(params, batch).items()})
+            acc.update(
+                {k: float(v) for k, v in self.eval_step(params, batch).items()},
+                weight=max(batch.num_graphs_real, 1),
+            )
         return acc.compute()
 
     # ------------------------------------------------------------------

@@ -32,12 +32,18 @@ def train_model(
 ) -> tuple[Trainer, TrainState, dict]:
     """Train a potential; returns (trainer, final state, test metrics)."""
     if val_graphs is None:
-        tr_idx, va_idx, _ = split_dataset(
-            len(train_graphs), config.val_ratio, 0.0, config.seed
+        # Split test out too (config.test_ratio) unless the caller provided an
+        # explicit test set — the reference splits all three
+        # (litmodule.py:209-219); round 1 hardcoded test_ratio=0 here.
+        test_ratio = 0.0 if test_graphs is not None else config.test_ratio
+        tr_idx, va_idx, te_idx = split_dataset(
+            len(train_graphs), config.val_ratio, test_ratio, config.seed
         )
         all_graphs = list(train_graphs)
         train_graphs = [all_graphs[i] for i in tr_idx]
         val_graphs = [all_graphs[i] for i in va_idx]
+        if test_graphs is None and te_idx is not None and len(te_idx):
+            test_graphs = [all_graphs[i] for i in te_idx]
 
     elemental, scale = fit_elemental_energies(train_graphs, config.num_types)
     pot = build_model(
