@@ -21,6 +21,14 @@ import jax
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+# Persistent compilation cache: the suite compiles many small model variants
+# (the dominant wall-clock cost on CPU); caching them across test runs and CI
+# matrix entries cuts repeat runs dramatically.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

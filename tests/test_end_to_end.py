@@ -212,18 +212,15 @@ def test_train_model_data_parallel(tmp_path):
 
 
 def test_cell_relaxation_reduces_stress():
-    """relax_cell=True lowers energy and stress via lattice deformation."""
-    rng = np.random.default_rng(3)
+    """relax_cell=True: the strain DOF inside the jitted FIRE loop drives a
+    plane-strained fcc cell to sigma ~ 0 (measured: ~5e-10 eV/A^3)."""
     base = Structure.from_frac_coords(
         np.eye(3) * 3.62,
         [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
         [29] * 4,
     )
-    s0 = Structure(
-        base.lattice * 1.05,
-        base.cart_coords * 1.05 + 0.1 * rng.standard_normal((4, 3)),
-        base.atomic_numbers,
-    )
+    F = np.diag([1.06, 0.95, 1.0])
+    s0 = Structure(base.lattice @ F.T, base.cart_coords @ F.T, base.atomic_numbers)
     cfg = M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=1)
     pot = build_model(cfg)
     from torch_m3gnet_tpu.data.graph import pack_structures
@@ -236,12 +233,64 @@ def test_cell_relaxation_reduces_stress():
 
     relaxed, _, _ = relax_structures(
         pot, params, [s0], 4.5, 4.0,
-        FireConfig(max_steps=100, rebuild_every=10, relax_cell=True,
-                   fmax=1e-6, cell_gain=20.0),
+        FireConfig(max_steps=400, rebuild_every=50, relax_cell=True,
+                   fmax=1e-6, smax=1e-9, dt_max=2.0),
     )
     g1 = pack_structures(relaxed, 4.5, 4.0)
     out1 = pot.apply(params, g1)
     assert float(out1.energy[0]) <= e0 + 1e-6
-    assert float(np.abs(np.asarray(out1.stress)).max()) < st0
+    assert float(np.abs(np.asarray(out1.stress)).max()) < 0.05 * st0
     # lattice actually moved
+    assert not np.allclose(relaxed[0].lattice, s0.lattice)
+
+
+def test_lbfgs_relaxation_reduces_forces_and_stress():
+    """Batched jitted L-BFGS: forces drop on a rattled crystal, and with
+    relax_cell=True a plane-strained cell relaxes toward sigma = 0 (the cell
+    strain is optimized INSIDE the jitted loop)."""
+    from torch_m3gnet_tpu.data.graph import pack_structures
+    from torch_m3gnet_tpu.simulate import LbfgsConfig
+
+    rng = np.random.default_rng(11)
+    base = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    )
+    cfg = M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=1)
+    pot = build_model(cfg)
+
+    # positions-only: max force must drop on two rattled copies
+    structures = [
+        Structure(
+            base.lattice,
+            base.cart_coords + 0.15 * rng.standard_normal((4, 3)),
+            base.atomic_numbers,
+        )
+        for _ in range(2)
+    ]
+    g0 = pack_structures(structures, 4.5, 4.0)
+    params = pot.init(jax.random.PRNGKey(7), g0)
+    out0 = pot.apply(params, g0)
+    fmax0 = float(np.linalg.norm(np.asarray(out0.forces), axis=1).max())
+    relaxed, energies, fmax = relax_structures(
+        pot, params, structures, 4.5, 4.0,
+        LbfgsConfig(max_steps=40, rebuild_every=20, fmax=1e-4),
+    )
+    assert np.isfinite(energies).all()
+    assert fmax.max() < fmax0, (fmax, fmax0)
+
+    # plane strain + cell DOF: stress magnitude must drop, lattice must move
+    F = np.diag([1.06, 0.95, 1.0])
+    s0 = Structure(base.lattice @ F.T, base.cart_coords @ F.T, base.atomic_numbers)
+    g = pack_structures([s0], 4.5, 4.0)
+    st0 = float(np.abs(np.asarray(pot.apply(params, g).stress)).max())
+    relaxed, _, _ = relax_structures(
+        pot, params, [s0], 4.5, 4.0,
+        LbfgsConfig(max_steps=60, rebuild_every=15, relax_cell=True,
+                    fmax=1e-6, smax=1e-9),
+    )
+    g1 = pack_structures(relaxed, 4.5, 4.0)
+    st1 = float(np.abs(np.asarray(pot.apply(params, g1).stress)).max())
+    assert st1 < st0, (st1, st0)
     assert not np.allclose(relaxed[0].lattice, s0.lattice)

@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--config", default=None, help="YAML config for the model")
     ap.add_argument("--fmax", type=float, default=0.05)
     ap.add_argument("--max-steps", type=int, default=200)
+    ap.add_argument("--optimizer", choices=("fire", "lbfgs"), default="fire")
+    ap.add_argument("--relax-cell", action="store_true",
+                    help="optimize the cell strain jointly (jitted DOF)")
     ap.add_argument("--seed", type=int, default=0, help="init seed when no checkpoint")
     args = ap.parse_args()
 
@@ -34,7 +37,7 @@ def main() -> None:
     from torch_m3gnet_tpu.data.graph import pack_structures
     from torch_m3gnet_tpu.data.structure import Structure
     from torch_m3gnet_tpu.models import build_model
-    from torch_m3gnet_tpu.simulate import FireConfig, relax_structures
+    from torch_m3gnet_tpu.simulate import FireConfig, LbfgsConfig, relax_structures
 
     config = M3GNetConfig.from_yaml(args.config) if args.config else M3GNetConfig()
 
@@ -75,7 +78,9 @@ def main() -> None:
         structures,
         config.cutoff,
         config.threebody_cutoff,
-        FireConfig(max_steps=args.max_steps, fmax=args.fmax),
+        (LbfgsConfig if args.optimizer == "lbfgs" else FireConfig)(
+            max_steps=args.max_steps, fmax=args.fmax, relax_cell=args.relax_cell
+        ),
     )
     out = [
         {

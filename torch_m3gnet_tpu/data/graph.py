@@ -66,7 +66,15 @@ class GraphBatch:
     # time (an XLA int gather at T scale costs ~8 ms/step on v5e otherwise)
     triplet_node_k: Optional[np.ndarray] = None  # (T,) i32
 
+    # graph-parallel halo plan (set by parallel.graph_shard.partition_graph;
+    # see ops/halo.py). When present, edge_dst / triplet_node_k hold
+    # *extended-local* ids in [0, nps + H).
+    halo_send_idx: Optional[np.ndarray] = None  # (n_offsets*Hp,) i32 per shard
+    halo_recv_idx: Optional[np.ndarray] = None  # (H,) i32 per shard
+
     # static metadata (not traced)
+    # ring offsets of the halo plan (one ppermute each; shard-invariant)
+    halo_offsets: tuple = struct.field(pytree_node=False, default=())
     num_graphs_real: int = struct.field(pytree_node=False, default=0)
 
     @property
@@ -224,6 +232,9 @@ def cast_batch(batch: GraphBatch, dtype) -> GraphBatch:
         triplet_e2=batch.triplet_e2,
         triplet_mask=batch.triplet_mask,
         triplet_node_k=batch.triplet_node_k,
+        halo_send_idx=batch.halo_send_idx,
+        halo_recv_idx=batch.halo_recv_idx,
+        halo_offsets=batch.halo_offsets,
         lattice=cast(batch.lattice),
         graph_mask=batch.graph_mask,
         n_node=batch.n_node,

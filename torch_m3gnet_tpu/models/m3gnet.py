@@ -36,6 +36,7 @@ from torch_m3gnet_tpu.ops.basis import (
     normalized_spherical_bessel_tmajor,
     smooth_radial_basis,
 )
+from torch_m3gnet_tpu.ops.halo import halo_exchange
 from torch_m3gnet_tpu.ops.segment import segment_sum, take
 
 
@@ -127,11 +128,24 @@ class M3GNet(nn.Module):
         rc = self.cutoff / self.length_scale
         rc3 = self.threebody_cutoff / self.length_scale
 
-        def gather_nodes(x, idx_global):
+        def extend_nodes(x):
+            """Make remote node rows addressable under graph parallelism.
+
+            With a halo plan in the batch: boundary-only all_to_all exchange
+            (comm ∝ cut size, ops/halo.py) producing the extended-local array
+            that edge_dst / triplet_node_k index. Without one: legacy full
+            all_gather (global-id addressing)."""
+            if graph.halo_send_idx is not None:
+                return halo_exchange(
+                    x, graph.halo_send_idx, graph.halo_recv_idx,
+                    graph.halo_offsets, self.halo_axis,
+                )
+            return jax.lax.all_gather(x, self.halo_axis, axis=0, tiled=True)
+
+        def gather_nodes(x, idx):
             if self.halo_axis is None:
-                return _gather(x, idx_global)
-            x_all = jax.lax.all_gather(x, self.halo_axis, axis=0, tiled=True)
-            return _gather(x_all, idx_global)
+                return _gather(x, idx)
+            return _gather(extend_nodes(x), idx)
 
         node_mask = graph.node_mask.astype(dtype)  # (N,)
         edge_mask = graph.edge_mask.astype(dtype)  # (E,)
@@ -207,12 +221,10 @@ class M3GNet(nn.Module):
                 # gate pre-gathered node->edge (E-scale, cheap); the kernel's
                 # T-scale e2 access is then window-local by the triplet
                 # enumeration invariant. Under graph parallelism the gate is
-                # halo-exchanged first (edge_dst ids are global), exactly like
-                # gather_nodes — the kernel itself stays shard-local.
+                # halo-exchanged first, exactly like gather_nodes — the kernel
+                # itself stays shard-local.
                 if self.halo_axis is not None:
-                    gate = jax.lax.all_gather(
-                        gate, self.halo_axis, axis=0, tiled=True
-                    )
+                    gate = extend_nodes(gate)
                 gate_e_fm = _gather(gate, graph.edge_dst).T.astype(jnp.float32)
                 out_fm = fused_triplet_gate_sum(
                     basis, gate_e_fm, e1, e2, graph.num_edges

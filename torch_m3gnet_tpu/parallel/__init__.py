@@ -7,6 +7,7 @@ from torch_m3gnet_tpu.parallel.dp import (
 from torch_m3gnet_tpu.parallel.graph_shard import (
     GraphParallelPotential,
     GraphParallelTrainer,
+    halo_stats,
     partition_graph,
     stack_partitions,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "unshard",
     "GraphParallelPotential",
     "GraphParallelTrainer",
+    "halo_stats",
     "partition_graph",
     "stack_partitions",
 ]

@@ -4,10 +4,11 @@ The reference has no distributed support; here multi-host runs use JAX's
 standard bootstrap: every host calls :func:`initialize`, then builds a global
 mesh over ``jax.devices()`` (all hosts' chips). Data loading stays host-local:
 each host feeds only the dp shards that live on its own chips
-(``jax.local_devices()``), which `shard_stack` + `jax.device_put` with a
-NamedSharding handles.
+(``jax.local_devices()``); :func:`host_local_to_global` assembles the global
+sharded batch from those per-host pieces.
 
-Not exercisable in this single-host environment; kept thin and standard.
+Smoke-tested with a real 2-process ``jax.distributed`` CPU job (gloo
+collectives) in tests/test_distributed.py.
 """
 
 from __future__ import annotations
@@ -47,3 +48,22 @@ def global_mesh(axis_name: str = "dp"):
     from jax.sharding import Mesh
 
     return Mesh(np.array(jax.devices()), (axis_name,))
+
+
+def host_local_to_global(mesh, batch, axis_name: str = "dp"):
+    """Assemble a globally-sharded batch from each host's local dp shards.
+
+    Every host passes the stacked batch for ITS OWN devices (leading axis =
+    len(jax.local_devices())); the result is one global jax.Array pytree whose
+    leading axis spans all hosts' devices — ready for the shard_map'd
+    DataParallel step functions.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, batch)

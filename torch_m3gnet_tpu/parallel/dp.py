@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from torch_m3gnet_tpu.config import M3GNetConfig
 from torch_m3gnet_tpu.data.graph import GraphBatch
-from torch_m3gnet_tpu.train.loop import TrainState, loss_and_metrics
+from torch_m3gnet_tpu.train.loop import TrainState, loss_and_metrics, make_optimizer
 
 
 def shard_stack(shards: Sequence[GraphBatch]) -> GraphBatch:
@@ -63,10 +63,9 @@ class DataParallel:
         self.config = config
         self.mesh = mesh
         self.axis = axis
-        self.opt = optax.chain(
-            optax.scale_by_adam(eps=1e-7),
-            optax.inject_hyperparams(optax.scale)(step_size=-config.learning_rate),
-        )
+        # same chain as the single-chip Trainer, incl. MultiSteps gradient
+        # accumulation when config.accumulate_grad_batches > 1
+        self.opt = make_optimizer(config)
 
         cfg = config
         pot = potential

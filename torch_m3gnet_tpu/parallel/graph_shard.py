@@ -10,18 +10,28 @@ Design:
   updated locally.
 - **Edges**: owned by the device of their *source* node (the partitioner gets
   this for free from the neighbor list's source-sorted invariant). Edge source
-  ids are stored shard-local, destination ids stay global.
+  ids are stored shard-local; destinations are remapped to *extended-local*
+  ids ``[0, nps + H)`` — local block first, then this shard's halo slots.
 - **Triplets**: both edges of a triplet share a source node, so triplets are
   fully local to their edges' shard; triplet->edge aggregation never
   communicates.
-- **Halo exchange**: the only remote reads are destination-node features —
-  one `all_gather` over the ``gp`` axis per use (positions once, then the
-  node-gate and node-features once per block), riding ICI. Under jax.grad the
-  all_gather transposes to a psum_scatter, so force training communicates the
-  same volume backward.
-- **Reductions**: per-shard energies/virials psum once at the end; forces
-  combine a local source-side scatter with one psum'd destination-side
-  scatter.
+- **Halo exchange**: the only remote reads are boundary-node rows — the
+  destinations of cut edges. The partitioner computes, per ordered shard
+  pair, exactly which rows cross that boundary; at run time one tiled
+  ``all_to_all`` per use (positions once, then the node-gate and
+  node-features once per block) moves ONLY those rows over ICI
+  (:mod:`torch_m3gnet_tpu.ops.halo`). Comm per exchange is boundary-sized:
+  ``S*Hp`` rows/shard vs the global node count an all_gather would move (see
+  :func:`halo_stats`). Under ``jax.grad`` the exchange transposes to the
+  reverse all_to_all + owner-side scatter, so force training communicates the
+  same boundary-sized volume backward. XLA's latency-hiding scheduler
+  overlaps the async all_to_all start/done pair with the shard-local matmuls
+  between them.
+- **Reductions**: per-shard energies/virials psum once at the end; the
+  destination-side force scatter is the halo VJP (boundary-sized), not a
+  global psum.
+- A legacy full-``all_gather`` mode (``halo=False``) is kept for A/B testing;
+  its comm and peak memory scale with the global node count.
 
 The per-shard compute path is the *same* M3GNet module (with
 ``halo_axis="gp"`` — see models/m3gnet.py), not a fork of it.
@@ -40,7 +50,25 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from torch_m3gnet_tpu.data.graph import GraphBatch, round_up
 from torch_m3gnet_tpu.models.m3gnet import M3GNet, PotentialOutput, _voigt
+from torch_m3gnet_tpu.ops.halo import halo_exchange
 from torch_m3gnet_tpu.ops.segment import segment_sum, take
+
+
+def _halo_plan(dst_by_shard: Sequence[np.ndarray], n_shards: int, nps: int):
+    """Per-shard boundary sets.
+
+    Returns (halo_ids, pair_counts): ``halo_ids[s]`` = sorted unique global
+    node ids shard s reads remotely; ``pair_counts[r, s]`` = rows shard r
+    sends to shard s.
+    """
+    halo_ids = []
+    pair_counts = np.zeros((n_shards, n_shards), np.int64)
+    for s in range(n_shards):
+        d = np.asarray(dst_by_shard[s], dtype=np.int64)
+        remote = np.unique(d[d // nps != s]) if d.size else np.zeros(0, np.int64)
+        halo_ids.append(remote)
+        pair_counts[:, s] = np.bincount(remote // nps, minlength=n_shards)
+    return halo_ids, pair_counts
 
 
 def partition_graph(
@@ -50,18 +78,25 @@ def partition_graph(
     nodes_per_shard: Optional[int] = None,
     edges_per_shard: Optional[int] = None,
     triplets_per_shard: Optional[int] = None,
+    halo: bool = True,
+    halo_size: Optional[int] = None,
+    halo_per_pair: Optional[int] = None,
+    halo_offsets: Optional[tuple] = None,
 ) -> GraphBatch:
     """Split one single (unpadded) graph into stacked per-device shards.
 
     Returns a GraphBatch whose arrays carry a leading ``n_shards`` axis.
-    Shard s owns global nodes [s*nps, (s+1)*nps); ``edge_src`` is shard-local,
-    ``edge_dst`` global; triplet edge ids are shard-local slots. Targets
-    (energy/forces) are carried into shards when present (forces split by node
-    block; the replicated total energy is pmean'd in the gp loss).
+    Shard s owns global nodes [s*nps, (s+1)*nps); ``edge_src`` is shard-local.
+    With ``halo=True`` (default) a boundary exchange plan is attached
+    (``halo_send_idx``/``halo_recv_idx``, see ops/halo.py) and ``edge_dst`` /
+    ``triplet_node_k`` are extended-local ids; with ``halo=False`` they stay
+    global and the model falls back to a full all_gather. Targets
+    (energy/forces/stress) are carried into shards when present (forces split
+    by node block; the replicated energy/stress are pmean'd in the gp loss).
 
-    ``nodes/edges/triplets_per_shard`` override the auto-derived shard sizes so
-    several graphs can be partitioned to identical shapes (see
-    :func:`stack_partitions`).
+    ``nodes/edges/triplets_per_shard`` / ``halo_size`` / ``halo_per_pair``
+    override the auto-derived shard sizes so several graphs can be partitioned
+    to identical shapes (see :func:`stack_partitions`).
     """
     if graph.num_graphs_real != 1 or graph.num_graphs != 1:
         raise ValueError("partition_graph expects a single unpadded graph")
@@ -125,21 +160,91 @@ def partition_graph(
             out[s, :cnt] = te[t_start[s] : t_start[s] + cnt] - e_start[s]
         return out
 
+    dst = np.asarray(graph.edge_dst)
+    te2_local = trip_local(graph.triplet_e2)
+
+    halo_send = halo_recv = None
+    offsets: tuple = ()
+    if halo:
+        dst_by_shard = [
+            dst[e_start[s] : e_start[s] + edge_counts[s]] for s in range(n_shards)
+        ]
+        halo_ids, pair_counts = _halo_plan(dst_by_shard, n_shards, nps)
+        # ring offsets with any traffic: shard r sends to s at (s - r) % S.
+        # For spatially contiguous partitions this is {1, S-1} regardless of
+        # S — comm stays boundary-sized as the mesh grows.
+        need = sorted(
+            {
+                (s - r) % n_shards
+                for r in range(n_shards)
+                for s in range(n_shards)
+                if r != s and pair_counts[r, s] > 0
+            }
+        )
+        if halo_offsets is not None:
+            missing = set(need) - set(halo_offsets)
+            if missing:
+                raise ValueError(f"halo_offsets missing required offsets {missing}")
+            offsets = tuple(halo_offsets)
+        else:
+            offsets = tuple(need)
+        h_real = max((len(h) for h in halo_ids), default=0)
+        H = halo_size or round_up(max(h_real, 1), 8)
+        if H < h_real:
+            raise ValueError("halo_size too small for this partition")
+        p_real = int(pair_counts.max())
+        Hp = halo_per_pair or round_up(max(p_real, 1), 8)
+        if Hp < p_real:
+            raise ValueError("halo_per_pair too small for this partition")
+        n_off = len(offsets)
+        off_index = {d: i for i, d in enumerate(offsets)}
+
+        halo_send = np.zeros((n_shards, n_off * Hp), np.int32)
+        halo_recv = np.zeros((n_shards, H), np.int32)
+        for s in range(n_shards):
+            h = halo_ids[s]
+            own = h // nps
+            pos = np.zeros(len(h), np.int64)
+            blk = np.zeros(len(h), np.int64)
+            for r in np.unique(own):
+                sel = own == r
+                rows = h[sel] - r * nps
+                i = off_index[(s - int(r)) % n_shards]
+                halo_send[r, i * Hp : i * Hp + len(rows)] = rows
+                pos[sel] = np.arange(len(rows))
+                blk[sel] = i
+            halo_recv[s, : len(h)] = (blk * Hp + pos).astype(np.int32)
+
+        # edge_dst -> extended-local ids: [0, nps) local, [nps, nps+H) halo
+        edst = by_edge(dst)
+        for s in range(n_shards):
+            cnt = edge_counts[s]
+            d = edst[s, :cnt].astype(np.int64)
+            hpos = np.searchsorted(halo_ids[s], d)
+            edst[s, :cnt] = np.where(
+                d // nps == s, d - s * nps, nps + hpos
+            ).astype(edst.dtype)
+        node_k = np.take_along_axis(edst, te2_local, axis=1)
+    else:
+        edst = by_edge(dst)
+        node_k = by_trip(dst[np.asarray(graph.triplet_e2)])
+
     return GraphBatch(
         positions=by_node(np.asarray(graph.positions)),
         atom_types=by_node(np.asarray(graph.atom_types)),
         node_graph=np.zeros((n_shards, nps), dtype=np.int32),
         node_mask=by_node(np.asarray(graph.node_mask)),
         edge_src=esrc_local.astype(np.int32),
-        edge_dst=by_edge(np.asarray(graph.edge_dst)).astype(np.int32),
+        edge_dst=edst.astype(np.int32),
         edge_cell_shift=by_edge(np.asarray(graph.edge_cell_shift)),
         edge_mask=by_edge(np.asarray(graph.edge_mask)),
         triplet_e1=trip_local(graph.triplet_e1, pad_value=eps - 1).astype(np.int32),
-        triplet_e2=trip_local(graph.triplet_e2).astype(np.int32),
+        triplet_e2=te2_local.astype(np.int32),
         triplet_mask=by_trip(np.asarray(graph.triplet_mask)),
-        triplet_node_k=by_trip(
-            np.asarray(graph.edge_dst)[np.asarray(graph.triplet_e2)]
-        ).astype(np.int32),
+        triplet_node_k=node_k.astype(np.int32),
+        halo_send_idx=halo_send,
+        halo_recv_idx=halo_recv,
+        halo_offsets=offsets,
         lattice=np.broadcast_to(np.asarray(graph.lattice), (n_shards, 1, 3, 3)).copy(),
         graph_mask=np.ones((n_shards, 1), dtype=bool),
         n_node=np.full((n_shards, 1), n, dtype=np.int32),
@@ -147,6 +252,11 @@ def partition_graph(
         if graph.energy is None
         else np.broadcast_to(np.asarray(graph.energy), (n_shards, 1)).copy(),
         forces=None if graph.forces is None else by_node(np.asarray(graph.forces)),
+        stress=None
+        if graph.stress is None
+        else np.broadcast_to(
+            np.asarray(graph.stress).reshape(1, 6), (n_shards, 1, 6)
+        ).reshape(n_shards, 1, 6).copy(),
         num_graphs_real=1,
     )
 
@@ -155,35 +265,140 @@ def stack_partitions(
     graphs: Sequence[GraphBatch],
     n_shards: int,
     pad_multiple: int = 128,
+    halo: bool = True,
 ) -> GraphBatch:
     """Partition several single graphs to COMMON shard shapes and stack them.
 
     Returns a GraphBatch whose arrays carry TWO leading axes
     ``(len(graphs), n_shards, ...)`` — the dp x gp layout consumed by
-    :meth:`GraphParallelPotential.make_loss` with ``dp_axis`` set. Shard sizes
-    are the max over all graphs so every (dp, gp) cell has identical static
-    shapes and the whole 2-D batch jits once.
+    :meth:`GraphParallelPotential.make_loss` with ``dp_axis`` set. Shard and
+    halo sizes are the max over all graphs so every (dp, gp) cell has
+    identical static shapes and the whole 2-D batch jits once.
     """
     if not graphs:
         raise ValueError("stack_partitions needs at least one graph")
     nps = max(round_up(-(-g.num_nodes // n_shards), 8) for g in graphs)
-    max_e, max_t = 0, 0
+    max_e, max_t, max_h, max_p = 0, 0, 0, 0
+    all_offsets: set = set()
     for g in graphs:
-        owner = np.asarray(g.edge_src) // nps
+        src = np.asarray(g.edge_src)
+        owner = src // nps
         ec = np.bincount(owner, minlength=n_shards)
         tc = np.bincount(owner[np.asarray(g.triplet_e1)], minlength=n_shards)
         max_e = max(max_e, int(ec.max()))
         max_t = max(max_t, int(tc.max()))
+        if halo:
+            e_start = np.cumsum(ec) - ec
+            dst = np.asarray(g.edge_dst)
+            dbs = [dst[e_start[s] : e_start[s] + ec[s]] for s in range(n_shards)]
+            halo_ids, pair_counts = _halo_plan(dbs, n_shards, nps)
+            max_h = max(max_h, max((len(h) for h in halo_ids), default=0))
+            max_p = max(max_p, int(pair_counts.max()))
+            all_offsets |= {
+                (s - r) % n_shards
+                for r in range(n_shards)
+                for s in range(n_shards)
+                if r != s and pair_counts[r, s] > 0
+            }
     eps = round_up(max_e + 1, pad_multiple)
     tps = round_up(max_t + 1, pad_multiple)
+    kw = {}
+    if halo:
+        kw = dict(
+            halo_size=round_up(max(max_h, 1), 8),
+            halo_per_pair=round_up(max(max_p, 1), 8),
+            halo_offsets=tuple(sorted(all_offsets)),
+        )
     parts = [
         partition_graph(
             g, n_shards, pad_multiple,
             nodes_per_shard=nps, edges_per_shard=eps, triplets_per_shard=tps,
+            halo=halo, **kw,
         )
         for g in graphs
     ]
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *parts)
+
+
+def halo_stats(sharded: GraphBatch) -> dict:
+    """Communication volume of the halo plan vs a full all_gather.
+
+    Rows are per exchange per shard (one node-feature row each); multiply by
+    the feature width x dtype size for bytes. ``all_gather_rows`` is what the
+    legacy path would move ((S-1)/S x global nodes, tiled all_gather).
+    """
+    if sharded.halo_send_idx is None:
+        raise ValueError("batch carries no halo plan (partitioned with halo=False?)")
+    send = np.asarray(sharded.halo_send_idx)
+    S = send.shape[-2] if send.ndim >= 2 else 1
+    nps = np.asarray(sharded.positions).shape[-2]
+    send_rows = int(send.shape[-1])
+    gather_rows = (S - 1) * nps
+    return {
+        "n_shards": int(S),
+        "nodes_per_shard": int(nps),
+        "n_offsets": len(sharded.halo_offsets),
+        "halo_rows_per_shard": send_rows,
+        "all_gather_rows_per_shard": gather_rows,
+        "comm_fraction_of_all_gather": send_rows / max(gather_rows, 1),
+    }
+
+
+def _shard_efs(model: M3GNet, params, shard: GraphBatch, axis: str,
+               need_virial: bool = True):
+    """Per-shard energy/forces(/virial) with boundary-sized communication.
+
+    r_vec is built through the halo exchange of positions (or the legacy
+    all_gather when no plan is attached); forces come from ONE VJP through
+    that construction, so the destination-side scatter is routed back to
+    owners by the exchange's transpose — no global-size collective anywhere
+    when a halo plan is present.
+
+    Returns (energy (1,) psum'd, forces (nps, 3) local rows, sym virial
+    (3, 3) psum'd or None, atomic (nps,)).
+    """
+    nps = shard.num_nodes
+    pos_local = jnp.asarray(shard.positions)
+    lattice = jnp.asarray(shard.lattice)  # (1, 3, 3)
+    shift = jnp.einsum(
+        "ep,pq->eq",
+        jnp.asarray(shard.edge_cell_shift, pos_local.dtype),
+        lattice[0],
+    )
+    use_halo = shard.halo_send_idx is not None
+
+    def rv_of(pos):
+        if use_halo:
+            pos_ext = halo_exchange(
+                pos, shard.halo_send_idx, shard.halo_recv_idx,
+                shard.halo_offsets, axis,
+            )
+        else:
+            pos_ext = jax.lax.all_gather(pos, axis, axis=0, tiled=True)
+        return take(pos_ext, jnp.asarray(shard.edge_dst)) + shift - take(
+            pos, jnp.asarray(shard.edge_src)
+        )
+
+    r_vec, rv_vjp = jax.vjp(rv_of, pos_local)
+
+    def energy_of(rv):
+        total, atomic = model.apply(params, shard, rv)
+        return jnp.sum(total), (total, atomic)
+
+    g_r, (total, atomic) = jax.grad(energy_of, has_aux=True)(r_vec)
+    g_r = g_r * jnp.asarray(shard.edge_mask, g_r.dtype)[:, None]
+
+    (dpos,) = rv_vjp(g_r)
+    forces = -dpos * jnp.asarray(shard.node_mask, g_r.dtype)[:, None]
+
+    energy = jax.lax.psum(total, axis)  # (1,)
+
+    sV = None
+    if need_virial:
+        outer = jnp.sum(r_vec[:, :, None] * g_r[:, None, :], axis=0)
+        sV = jax.lax.psum(outer, axis)
+        sV = 0.5 * (sV + sV.T)
+    return energy, forces, sV, atomic
 
 
 class GraphParallelPotential:
@@ -207,53 +422,8 @@ class GraphParallelPotential:
         )
         def run(params, stacked):
             shard = jax.tree.map(lambda x: x[0], stacked)
-            nps = shard.num_nodes
-            my = jax.lax.axis_index(axis)
-            node_off = my * nps
-
-            pos_local = jnp.asarray(shard.positions)
-            lattice = jnp.asarray(shard.lattice)  # (1, 3, 3)
-            pos_all = jax.lax.all_gather(pos_local, axis, axis=0, tiled=True)
-
-            shift = jnp.einsum(
-                "ep,pq->eq",
-                jnp.asarray(shard.edge_cell_shift, pos_local.dtype),
-                lattice[0],
-            )
-            r_vec = (
-                take(pos_all, jnp.asarray(shard.edge_dst))
-                + shift
-                - take(pos_local, jnp.asarray(shard.edge_src))
-            )
-
-            def energy_of(rv):
-                total, atomic = model.apply(params, shard, rv)
-                return jnp.sum(total), (total, atomic)
-
-            g_r, (total, atomic) = jax.grad(energy_of, has_aux=True)(r_vec)
-
-            emask = jnp.asarray(shard.edge_mask, g_r.dtype)[:, None]
-            g_r = g_r * emask
-
-            # forces: + at source (local), - at destination (global, psum'd)
-            f_src = segment_sum(
-                g_r, jnp.asarray(shard.edge_src), num_segments=nps,
-                indices_are_sorted=True,
-            )
-            f_dst_all = segment_sum(
-                g_r, jnp.asarray(shard.edge_dst), num_segments=pos_all.shape[0]
-            )
-            f_dst_all = jax.lax.psum(f_dst_all, axis)
-            f_dst_local = jax.lax.dynamic_slice_in_dim(f_dst_all, node_off, nps)
-            forces = (f_src - f_dst_local) * jnp.asarray(
-                shard.node_mask, g_r.dtype
-            )[:, None]
-
-            energy = jax.lax.psum(total, axis)  # (1,)
-
-            outer = jnp.sum(r_vec[:, :, None] * g_r[:, None, :], axis=0)
-            sV = jax.lax.psum(outer, axis)
-            sV = 0.5 * (sV + sV.T)
+            energy, forces, sV, _ = _shard_efs(model, params, shard, axis)
+            lattice = jnp.asarray(shard.lattice)
             vol = jnp.abs(
                 jnp.sum(lattice[0, 0] * jnp.cross(lattice[0, 1], lattice[0, 2]))
             )
@@ -261,7 +431,6 @@ class GraphParallelPotential:
             # but the lattice arrives sharded so the replication checker can't
             # prove it — emit per-shard and take row 0 on the host.
             stress = _voigt(sV[None]) / vol  # (1, 6)
-
             return energy, forces[None], stress[None]
 
         return run
@@ -269,11 +438,14 @@ class GraphParallelPotential:
     # ------------------------------------------------------------------
     # Training: loss whose gradient flows through the halo exchange.
     def make_loss(self, config, dp_axis: Optional[str] = None):
-        """Return loss_fn(params, sharded) -> scalar (E/atom + force MSE).
+        """Return loss_fn(params, sharded) -> scalar.
 
-        The per-shard force error and energy are psum'd inside shard_map, so
-        jax.grad(loss_fn) backpropagates through the collectives
-        (all_gather -> psum_scatter) — a full graph-parallel training step.
+        loss = w_E MSE(E/atom) + w_F MSE(F) [+ w_S MSE(sigma) when stress
+        targets are present and ``config.stress_weight > 0`` — parity with the
+        reference loss, /root/reference/src/torch_m3gnet/model/litmodule.py:
+        141-152]. The per-shard terms are psum'd inside shard_map, so
+        jax.grad(loss_fn) backpropagates through the boundary collectives —
+        a full graph-parallel training step.
 
         With ``dp_axis`` set (2-D dp x gp mesh), ``sharded`` carries TWO
         leading axes (n_dp, n_gp, ...): each dp row holds a *different*
@@ -294,55 +466,40 @@ class GraphParallelPotential:
         def loss_fn(params, stacked):
             strip = (lambda x: x[0, 0]) if dp_axis else (lambda x: x[0])
             shard = jax.tree.map(strip, stacked)
-            nps = shard.num_nodes
-            pos_local = jnp.asarray(shard.positions)
-            lattice = jnp.asarray(shard.lattice)
-            pos_all = jax.lax.all_gather(pos_local, axis, axis=0, tiled=True)
-            shift = jnp.einsum(
-                "ep,pq->eq",
-                jnp.asarray(shard.edge_cell_shift, pos_local.dtype),
-                lattice[0],
+            use_stress = (
+                shard.stress is not None and config.stress_weight > 0.0
             )
-            r_vec = (
-                take(pos_all, jnp.asarray(shard.edge_dst))
-                + shift
-                - take(pos_local, jnp.asarray(shard.edge_src))
+            energy, forces, sV, _ = _shard_efs(
+                model, params, shard, axis, need_virial=use_stress
             )
-
-            def energy_of(rv):
-                total, _ = model.apply(params, shard, rv)
-                return jnp.sum(total)
-
-            e_local, g_r = jax.value_and_grad(energy_of)(r_vec)
-            emask = jnp.asarray(shard.edge_mask, g_r.dtype)[:, None]
-            g_r = g_r * emask
-
-            f_src = segment_sum(
-                g_r, jnp.asarray(shard.edge_src), num_segments=nps,
-                indices_are_sorted=True,
-            )
-            f_dst_all = segment_sum(
-                g_r, jnp.asarray(shard.edge_dst), num_segments=pos_all.shape[0]
-            )
-            f_dst_all = jax.lax.psum(f_dst_all, axis)
-            my = jax.lax.axis_index(axis)
-            f_dst_local = jax.lax.dynamic_slice_in_dim(f_dst_all, my * nps, nps)
-            nmask = jnp.asarray(shard.node_mask, g_r.dtype)[:, None]
-            forces = (f_src - f_dst_local) * nmask
-
-            energy = jax.lax.psum(e_local, axis)  # scalar, replicated
-            n_atoms = jax.lax.psum(jnp.asarray(shard.node_mask, g_r.dtype).sum(), axis)
+            fdtype = forces.dtype
+            nmask = jnp.asarray(shard.node_mask, fdtype)[:, None]
+            n_atoms = jax.lax.psum(nmask.sum(), axis)
 
             # the target total is broadcast-identical across shards, but that
             # can't be statically inferred from a sharded input — pmean makes
             # the replication explicit for the checker
             e_target = jax.lax.pmean(jnp.sum(jnp.asarray(shard.energy)), axis)
-            e_loss = ((energy - e_target) / jnp.maximum(n_atoms, 1.0)) ** 2
+            e_loss = ((jnp.sum(energy) - e_target) / jnp.maximum(n_atoms, 1.0)) ** 2
 
             f_err = jnp.sum((forces - jnp.asarray(shard.forces)) ** 2 * nmask)
             f_loss = jax.lax.psum(f_err, axis) / jnp.maximum(3.0 * n_atoms, 1.0)
 
             loss = config.energy_weight * e_loss + config.force_weight * f_loss
+            if use_stress:
+                lattice = jnp.asarray(shard.lattice)
+                vol = jnp.abs(
+                    jnp.sum(lattice[0, 0] * jnp.cross(lattice[0, 1], lattice[0, 2]))
+                )
+                # numerically identical on every shard (same cell), but the
+                # lattice arrives sharded — pmean marks it replicated
+                vol = jax.lax.pmean(vol, axis)
+                stress = _voigt(sV[None])[0] / vol  # (6,)
+                s_target = jax.lax.pmean(
+                    jnp.asarray(shard.stress).reshape(6), axis
+                )
+                s_loss = jnp.mean((stress - s_target) ** 2)
+                loss = loss + config.stress_weight * s_loss
             if dp_axis is not None:
                 loss = jax.lax.pmean(loss, dp_axis)
             return loss
@@ -355,7 +512,7 @@ class GraphParallelPotential:
 
     def init(self, rng, sharded: GraphBatch):
         """Init params from one shard's static shapes. Uses a halo-free clone
-        (the halo all_gather needs a bound mesh axis; the param structure is
+        (the halo exchange needs a bound mesh axis; the param structure is
         identical) — params are replicated across the mesh."""
         strip = sharded
         while np.asarray(strip.positions).ndim > 2:
@@ -386,22 +543,21 @@ class GraphParallelTrainer:
     make_loss`). Batches are single huge graphs partitioned by
     :func:`partition_graph` (one graph per step) or stacks from
     :func:`stack_partitions` (``dp_axis`` set: one graph per dp row per step).
-    Checkpointing is orbax, same layout as the single-chip Trainer.
+    Honors ``config.accumulate_grad_batches`` via optax.MultiSteps (parity
+    with reference litmodule.py:289). Checkpointing is orbax, same layout as
+    the single-chip Trainer.
     """
 
     def __init__(self, potential, config, mesh: Mesh, axis: str = "gp",
                  dp_axis: Optional[str] = None):
         import optax
 
-        from torch_m3gnet_tpu.train.loop import TrainState, Trainer
+        from torch_m3gnet_tpu.train.loop import TrainState, Trainer, make_optimizer
 
         self.potential = GraphParallelPotential(potential.model, mesh, axis)
         self.config = config
         self.dp_axis = dp_axis
-        self.opt = optax.chain(
-            optax.scale_by_adam(eps=1e-7),
-            optax.inject_hyperparams(optax.scale)(step_size=-config.learning_rate),
-        )
+        self.opt = make_optimizer(config)
         loss_fn = self.potential.make_loss(config, dp_axis=dp_axis)
         opt = self.opt
         set_lr = Trainer._set_lr
@@ -435,6 +591,82 @@ class GraphParallelTrainer:
 
     def eval_loss(self, params, sharded: GraphBatch):
         return self._loss(params, sharded)
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state,
+        train_batches,
+        val_batches=None,
+        max_epochs: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
+        log_dir: Optional[str] = None,
+    ):
+        """Epoch loop over partitioned-graph batches: per-epoch cosine lr,
+        val loss, early stopping, best/last checkpoints — feature parity with
+        the single-chip :meth:`Trainer.fit` (reference litmodule.py:280-299).
+
+        Args:
+            train_batches: epoch index -> iterable of partitioned GraphBatches
+                (each from :func:`partition_graph` / :func:`stack_partitions`).
+            val_batches: () -> iterable of partitioned val batches.
+        """
+        import json
+        import os
+        import time
+
+        from torch_m3gnet_tpu.train.loop import cosine_annealing_lr
+
+        cfg = self.config
+        max_epochs = max_epochs or cfg.max_epochs
+        log_path = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            log_path = os.path.join(log_dir, "metrics.jsonl")
+        best_val = float("inf")
+        patience_left = cfg.early_stopping_patience
+
+        for epoch in range(int(state.epoch), max_epochs):
+            lr = cosine_annealing_lr(
+                epoch, cfg.learning_rate, cfg.decay_steps, cfg.decay_alpha
+            )
+            t0 = time.time()
+            tot, cnt = 0.0, 0
+            for sharded in train_batches(epoch):
+                state, m = self.train_step(state, sharded, lr)
+                tot += float(m["loss"])
+                cnt += 1
+            state = state.replace(epoch=epoch + 1)
+            row = {
+                "epoch": epoch,
+                "lr": lr,
+                "time": time.time() - t0,
+                "train_loss": tot / max(cnt, 1),
+            }
+
+            if val_batches is not None:
+                vt, vc = 0.0, 0
+                for sharded in val_batches():
+                    vt += float(self.eval_loss(state.params, sharded))
+                    vc += 1
+                val_loss = vt / max(vc, 1)
+                row["val_loss"] = val_loss
+                if val_loss < best_val - 1e-12:
+                    best_val = val_loss
+                    patience_left = cfg.early_stopping_patience
+                    if checkpoint_dir:
+                        self.save_checkpoint(checkpoint_dir, state, tag="best")
+                else:
+                    patience_left -= 1
+
+            if log_path:
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, state, tag="last")
+            if val_batches is not None and patience_left <= 0:
+                break
+        return state
 
     def save_checkpoint(self, ckpt_dir: str, state, tag: str = "last"):
         from torch_m3gnet_tpu.train.loop import Trainer

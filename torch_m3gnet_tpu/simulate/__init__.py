@@ -5,10 +5,11 @@ from torch_m3gnet_tpu.simulate.observables import (
     radial_distribution,
     write_extxyz,
 )
-from torch_m3gnet_tpu.simulate.relax import FireConfig, relax_structures
+from torch_m3gnet_tpu.simulate.relax import FireConfig, LbfgsConfig, relax_structures
 
 __all__ = [
     "FireConfig",
+    "LbfgsConfig",
     "relax_structures",
     "MDConfig",
     "MDResult",

@@ -94,6 +94,21 @@ def loss_and_metrics(potential, params, batch: GraphBatch, config: M3GNetConfig)
     return loss, metrics
 
 
+def make_optimizer(config: M3GNetConfig) -> optax.GradientTransformation:
+    """The shared optimizer chain: Adam(eps=1e-7) with an injected step size
+    (so the per-epoch cosine schedule can be set without re-jitting), wrapped
+    in optax.MultiSteps when ``accumulate_grad_batches > 1`` (parity with the
+    reference Trainer arg, litmodule.py:289). Used identically by the
+    single-chip Trainer, DataParallel, and GraphParallelTrainer."""
+    opt = optax.chain(
+        optax.scale_by_adam(eps=1e-7),
+        optax.inject_hyperparams(optax.scale)(step_size=-config.learning_rate),
+    )
+    if config.accumulate_grad_batches > 1:
+        opt = optax.MultiSteps(opt, config.accumulate_grad_batches)
+    return opt
+
+
 def cosine_annealing_lr(
     epoch: int, lr: float, decay_steps: int, decay_alpha: float
 ) -> float:
@@ -136,17 +151,7 @@ class Trainer:
                 self._tb = SummaryWriter(self.log_dir)
             except Exception:
                 self._tb = None
-        base = optax.adam(
-            learning_rate=1.0,  # scaled by the injected schedule factor below
-            eps=1e-7,
-        )
-        # inject lr by multiplying updates: use scale_by_adam + scale(-lr)
-        self.opt = optax.chain(
-            optax.scale_by_adam(eps=1e-7),
-            optax.inject_hyperparams(optax.scale)(step_size=-config.learning_rate),
-        )
-        if config.accumulate_grad_batches > 1:
-            self.opt = optax.MultiSteps(self.opt, config.accumulate_grad_batches)
+        self.opt = make_optimizer(config)
 
         cfg = config
 
