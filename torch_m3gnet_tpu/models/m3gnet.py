@@ -159,11 +159,29 @@ class M3GNet(nn.Module):
         sq_safe = jnp.where(graph.edge_mask, sq, 1.0)
         dist = jnp.where(graph.edge_mask, jnp.sqrt(sq_safe), rc)  # (E,)
 
-        vij = _gather(r_vec, graph.triplet_e1)  # (T, 3)
-        vik = _gather(r_vec, graph.triplet_e2)
-        rij = _gather(dist, graph.triplet_e1)  # (T,)
-        rik = _gather(dist, graph.triplet_e2)
-        cos_jik = jnp.sum(vij * vik, axis=-1) / (rij * rik)
+        if self.fused_triplets and dtype == jnp.float32:
+            # T-scale geometry reads through the windowed Pallas gather: XLA
+            # lowers narrow-row gathers AND their gradient transposes
+            # (scatter-adds on the force path) to serial row-at-a-time loops
+            # that dominate the whole step (~16 ms at MPF scale, round-2
+            # profile). Feature-major packing [x, y, z, dist] keeps the T
+            # axis on lanes; cos is formed from feature rows so the (T, 3)
+            # entity-major vectors never materialize.
+            from torch_m3gnet_tpu.ops.pallas_windowed_take import (
+                windowed_take_fm,
+            )
+
+            geom_fm = jnp.concatenate([r_vec.T, dist[None, :]], axis=0)  # (4, E)
+            g1 = windowed_take_fm(geom_fm, jnp.asarray(graph.triplet_e1))
+            g2 = windowed_take_fm(geom_fm, jnp.asarray(graph.triplet_e2))
+            rij, rik = g1[3], g2[3]  # (T,)
+            cos_jik = jnp.sum(g1[:3] * g2[:3], axis=0) / (rij * rik)
+        else:
+            vij = _gather(r_vec, graph.triplet_e1)  # (T, 3)
+            vik = _gather(r_vec, graph.triplet_e2)
+            rij = _gather(dist, graph.triplet_e1)  # (T,)
+            rik = _gather(dist, graph.triplet_e2)
+            cos_jik = jnp.sum(vij * vik, axis=-1) / (rij * rik)
         cos_jik = jnp.clip(cos_jik, -1.0, 1.0)  # (invariant.py:40)
 
         # --- featurization ------------------------------------------------
