@@ -135,3 +135,39 @@ def test_smooth_radial_basis_parity_formula():
         hm[i] = (fm[i] + np.sqrt(em[i] / dm[i - 1]) * hm[i - 1]) / np.sqrt(dm[i])
     np.testing.assert_allclose(got, hm.T, atol=1e-10)
     assert np.isfinite(got).all()
+
+
+def test_racah_harmonics_addition_theorem():
+    """sum_m C_lm(a) C_lm(b) == P_l(a.b) for l = 0..3 — the identity that
+    makes the factorized three-body stage exact (models/m3gnet.py)."""
+    from torch_m3gnet_tpu.ops.basis import racah_l_index, real_racah_harmonics
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((32, 3))
+    b = rng.standard_normal((32, 3))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    cos = np.sum(a * b, axis=1)
+    for l_max in (1, 2, 3, 4):
+        ca = np.asarray(real_racah_harmonics(jnp.asarray(a), l_max))
+        cb = np.asarray(real_racah_harmonics(jnp.asarray(b), l_max))
+        l_idx = racah_l_index(l_max)
+        assert ca.shape == (32, l_max * l_max) and l_idx.size == l_max * l_max
+        for ell in range(l_max):
+            sel = l_idx == ell
+            lhs = np.sum(ca[:, sel] * cb[:, sel], axis=1)
+            coef = np.zeros(ell + 1)
+            coef[ell] = 1.0
+            np.testing.assert_allclose(
+                lhs, np.polynomial.legendre.legval(cos, coef), atol=1e-12
+            )
+    with pytest.raises(NotImplementedError):
+        real_racah_harmonics(jnp.asarray(a), 5)
+
+
+def test_racah_harmonics_differentiable():
+    from torch_m3gnet_tpu.ops.basis import real_racah_harmonics
+
+    u = jnp.asarray([[0.6, 0.48, 0.64]])  # unit vector
+    jac = jax.jacobian(lambda v: real_racah_harmonics(v, 4))(u)
+    assert np.isfinite(np.asarray(jac)).all()

@@ -355,3 +355,32 @@ def test_dp_gp_composed_loss_matches_mean_of_gp_losses():
             atol=3e-5,
             rtol=1e-3,
         )
+
+
+def test_graph_parallel_factorized_triplets_matches(mesh):
+    """Factorized three-body stage under graph parallelism: the gate gather
+    routes through the halo exchange while the E->N segment sum and N->E
+    gather stay shard-local; E/F/S equals the gather-path gp result."""
+    s = _big_structure(seed=2)
+    g = graph_from_structure(s, 5.0, 4.0)
+    sharded = partition_graph(g, 4)
+
+    pot = build_model(CONFIG)
+    single = pad_batch(g, g.num_nodes, g.num_edges, g.num_triplets, 1)
+    params = pot.init(jax.random.PRNGKey(0), single)
+
+    gp = GraphParallelPotential(pot.model, mesh)
+    ref = gp.apply(params, sharded)
+
+    pot_f = build_model(CONFIG.replace(threebody_mode="factorized"))
+    gp_f = GraphParallelPotential(pot_f.model, mesh)
+    out = gp_f.apply(params, sharded)
+
+    n = g.num_nodes
+    np.testing.assert_allclose(float(out.energy[0]), float(ref.energy[0]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.forces)[:n], np.asarray(ref.forces)[:n], atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.stress)[0], np.asarray(ref.stress)[0], atol=5e-6
+    )

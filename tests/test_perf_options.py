@@ -89,3 +89,65 @@ def test_bfloat16_compute_close_to_f32(al_fcc, na_bcc):
     e = np.asarray(out.energy[:2])
     eh = np.asarray(out_h.energy[:2])
     np.testing.assert_allclose(eh, e, rtol=0.05, atol=0.05)
+
+
+def test_factorized_triplets_matches_gather(al_fcc, na_bcc):
+    """The addition-theorem factorization computes the IDENTICAL function:
+    E/F/S match the per-triplet gather path to f32 roundoff (and to machine
+    precision in f64 — exactness, not approximation)."""
+    b = _batch(al_fcc, na_bcc)
+    pot = build_model(CFG)
+    pot_f = build_model(CFG.replace(threebody_mode="factorized"))
+    params = pot.init(jax.random.PRNGKey(0), b)
+    out = pot.apply(params, b)
+    out_f = pot_f.apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_f.energy), np.asarray(out.energy), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.forces), np.asarray(out.forces), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.stress), np.asarray(out.stress), atol=5e-6
+    )
+
+
+def test_factorized_triplets_default_lmax(al_fcc, na_bcc):
+    """Same equivalence at the reference default l_max=3, n_max=3."""
+    cfg = M3GNetConfig(embedding_dim=16, num_blocks=2)
+    b = _batch(al_fcc, na_bcc)
+    pot = build_model(cfg)
+    pot_f = build_model(cfg.replace(threebody_mode="factorized"))
+    params = pot.init(jax.random.PRNGKey(0), b)
+    out = pot.apply(params, b)
+    out_f = pot_f.apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_f.energy), np.asarray(out.energy), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.forces), np.asarray(out.forces), atol=5e-5
+    )
+
+
+def test_factorized_triplets_training_gradients(al_fcc, na_bcc):
+    """Grad-of-grad: parameter gradients of the E+F loss agree between the
+    factorized and gather paths (the force loss differentiates through the
+    harmonics, the E->N segment sum, and the N->E gather)."""
+    from torch_m3gnet_tpu.train.loop import loss_and_metrics
+
+    rng = np.random.default_rng(0)
+    b = _batch(al_fcc, na_bcc)
+    b = b.replace(
+        energy=np.array([-10.0, -5.0], dtype=np.float32),
+        forces=(0.1 * rng.standard_normal((b.num_nodes, 3))).astype(np.float32),
+        stress=np.zeros((b.num_graphs, 6), dtype=np.float32),
+    )
+    cfg = CFG.replace(stress_weight=0.0)
+    pot = build_model(cfg)
+    pot_f = build_model(cfg.replace(threebody_mode="factorized"))
+    params = pot.init(jax.random.PRNGKey(0), b)
+
+    grads = jax.grad(lambda p: loss_and_metrics(pot, p, b, cfg)[0])(params)
+    grads_f = jax.grad(lambda p: loss_and_metrics(pot_f, p, b, cfg)[0])(params)
+    for a, c in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-5, rtol=2e-3)

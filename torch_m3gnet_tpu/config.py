@@ -73,7 +73,18 @@ class M3GNetConfig:
     # Fused Pallas triplet stage (gate gather + basis product + segment sum in
     # one kernel; T-scale data touched once). "auto" = on when the default
     # backend is TPU (measured 1.16x end-to-end on v5e), off elsewhere.
+    # Superseded by threebody_mode when that is not "auto".
     fused_triplets: str = "auto"
+    # Three-body stage algorithm:
+    #   "gather"     per-triplet gather + segment sum (XLA; exact parity path)
+    #   "fused"      per-triplet Pallas kernel (ops/pallas_fused_triplet.py)
+    #   "factorized" Legendre-addition-theorem factorization: P_l(cos theta)
+    #                splits into per-edge real harmonics, so the whole T-scale
+    #                stage collapses to O(E) dense ops (exact same function,
+    #                fastest on TPU by a wide margin)
+    #   "auto"       factorized on TPU, gather elsewhere (unless the legacy
+    #                fused_triplets knob explicitly forces the fused kernel)
+    threebody_mode: str = "auto"
 
     def replace(self, **kwargs: Any) -> "M3GNetConfig":
         return dataclasses.replace(self, **kwargs)

@@ -34,6 +34,8 @@ from torch_m3gnet_tpu.ops.basis import (
     cutoff_poly,
     legendre_cos_tmajor,
     normalized_spherical_bessel_tmajor,
+    racah_l_index,
+    real_racah_harmonics,
     smooth_radial_basis,
 )
 from torch_m3gnet_tpu.ops.halo import halo_exchange
@@ -115,6 +117,17 @@ class M3GNet(nn.Module):
     # basis product + segment sum in one kernel, T-scale data touched once.
     # Composes with the gp halo path (gate all_gather'd first, kernel local).
     fused_triplets: bool = False
+    # Factorized three-body stage: the Legendre addition theorem
+    # P_l(cos theta_jik) = sum_m C_lm(u_ij) C_lm(u_ik) turns the per-triplet
+    # angular basis into a product of per-EDGE real harmonics, so the whole
+    # T-scale stage becomes one E->N segment sum + one N->E gather of
+    # (l_max^2 * n_max)-wide dense features per block — O(E) instead of O(T),
+    # MXU/VPU-friendly, and mathematically IDENTICAL to the gather path
+    # (ordered j!=k triplets are recovered by subtracting the analytic j=k
+    # diagonal; fc(r)=0 beyond the 3-body cutoff makes the full-neighbor sum
+    # match the cutoff-restricted triplet enumeration exactly).
+    # Takes precedence over fused_triplets.
+    factorized_triplets: bool = False
 
     @nn.compact
     def __call__(
@@ -159,7 +172,9 @@ class M3GNet(nn.Module):
         sq_safe = jnp.where(graph.edge_mask, sq, 1.0)
         dist = jnp.where(graph.edge_mask, jnp.sqrt(sq_safe), rc)  # (E,)
 
-        if self.fused_triplets and dtype == jnp.float32:
+        if self.factorized_triplets:
+            cos_jik = None  # no T-scale geometry: angles factorize per edge
+        elif self.fused_triplets and dtype == jnp.float32:
             # T-scale geometry reads through the windowed Pallas gather: XLA
             # lowers narrow-row gathers AND their gradient transposes
             # (scatter-adds on the force path) to serial row-at-a-time loops
@@ -182,7 +197,8 @@ class M3GNet(nn.Module):
             rij = _gather(dist, graph.triplet_e1)  # (T,)
             rik = _gather(dist, graph.triplet_e2)
             cos_jik = jnp.sum(vij * vik, axis=-1) / (rij * rik)
-        cos_jik = jnp.clip(cos_jik, -1.0, 1.0)  # (invariant.py:40)
+        if cos_jik is not None:
+            cos_jik = jnp.clip(cos_jik, -1.0, 1.0)  # (invariant.py:40)
 
         # --- featurization ------------------------------------------------
         # AtomFeaturizer (featurizer.py:11-38): one-hot @ W == embedding table.
@@ -199,32 +215,82 @@ class M3GNet(nn.Module):
             nn.Dense(d, use_bias=False, name="edge_init")(edge_weights)
         )  # (E, D)
 
-        # Triplet-constant angular/radial factors (computed once; reference
-        # recomputes identical values in every block, interaction.py:187-202).
-        # Entity-major layout throughout: the T axis stays on sublanes, the
-        # small (l, n) axes on lanes — no (l*n, T) -> (T, l*n) transpose.
-        fc = cutoff_poly(rij, rc3) * cutoff_poly(rik, rc3)  # (T,)
         sph_norm = np.array(
             [math.sqrt((2 * ell + 1) / (4.0 * math.pi)) for ell in range(self.l_max)]
         )
-        sph_t = legendre_cos_tmajor(cos_jik, self.l_max) * sph_norm  # (T, l)
-        chi_t = normalized_spherical_bessel_tmajor(
-            rik, rc, self.l_max, self.n_max
-        )  # (T, l, n)
-        basis_t = (chi_t * sph_t[:, :, None] * fc[:, None, None]).reshape(-1, ln)
-        basis_t = basis_t * trip_mask[:, None]
-
-        basis_t = basis_t.astype(cdtype0)
-
-        # node k of i->k — precomputed at pack time when available (the
-        # T-scale int gather costs ~8 ms/step on v5e if re-derived per step)
-        if graph.triplet_node_k is not None:
-            node_k = jnp.asarray(graph.triplet_node_k)
-        else:
-            node_k = _gather(graph.edge_dst, graph.triplet_e2)
 
         # --- interaction blocks ------------------------------------------
-        if self.fused_triplets:
+        if self.factorized_triplets:
+            # Factorized three-body stage (see class docstring): per-edge
+            # factors only — NOTHING at T scale. For edge e = i->j,
+            #   out[e,(l,n)] = fc(r_e) c_l ( sum_m C_lm(u_e) A[i,(l,m,n)]
+            #                                - chi_ln(r_e) fc(r_e) gate[j,(l,n)] )
+            #   A[i,(l,m,n)] = sum_{e'=i->k} C_lm(u_e') chi_ln(r_e') fc(r_e')
+            #                   gate[k,(l,n)]
+            # with c_l = sqrt((2l+1)/4pi); the subtracted term is the j = k
+            # diagonal (P_l(1) = 1) excluded by the triplet enumeration
+            # (data/triplets.py: ordered pairs of DISTINCT edges).
+            u_hat = r_vec / dist[:, None]  # padded rows: dist = rc > 0
+            sh = real_racah_harmonics(u_hat, self.l_max)  # (E, M), M = l_max^2
+            chi_e = normalized_spherical_bessel_tmajor(
+                dist, rc, self.l_max, self.n_max
+            )  # (E, l, n)
+            fc_e = cutoff_poly(dist, rc3) * edge_mask  # (E,)
+            chifc = chi_e * fc_e[:, None, None]  # (E, l, n)
+            l_idx = racah_l_index(self.l_max)  # (M,) degree of each component
+            ends = np.cumsum([2 * ell + 1 for ell in range(self.l_max)])
+
+            def triplet_aggregate(_, gate):
+                gate_e = gather_nodes(gate, graph.edge_dst).astype(dtype)
+                gate_e = gate_e.reshape(-1, self.l_max, self.n_max)
+                g = chifc * gate_e  # (E, l, n)
+                w = sh[:, :, None] * g[:, l_idx, :]  # (E, M, n)
+                per_node = segment_sum(
+                    w.reshape(w.shape[0], -1),
+                    graph.edge_src,
+                    num_segments=graph.num_nodes,
+                    indices_are_sorted=True,
+                )  # (N, M*n)
+                a_e = _gather(per_node, graph.edge_src).reshape(
+                    -1, l_idx.size, self.n_max
+                )
+                prod = sh[:, :, None] * a_e  # (E, M, n)
+                proj = jnp.stack(
+                    [
+                        prod[:, (ends[ell - 1] if ell else 0) : ends[ell]].sum(axis=1)
+                        for ell in range(self.l_max)
+                    ],
+                    axis=1,
+                )  # (E, l, n)
+                agg = (fc_e[:, None, None] * sph_norm[None, :, None]) * (proj - g)
+                return agg.reshape(-1, ln).astype(cdtype0)
+
+            basis_for_blocks = None
+        else:
+            # Triplet-constant angular/radial factors (computed once; reference
+            # recomputes identical values in every block, interaction.py:187-202).
+            # Entity-major layout throughout: the T axis stays on sublanes, the
+            # small (l, n) axes on lanes — no (l*n, T) -> (T, l*n) transpose.
+            fc = cutoff_poly(rij, rc3) * cutoff_poly(rik, rc3)  # (T,)
+            sph_t = legendre_cos_tmajor(cos_jik, self.l_max) * sph_norm  # (T, l)
+            chi_t = normalized_spherical_bessel_tmajor(
+                rik, rc, self.l_max, self.n_max
+            )  # (T, l, n)
+            basis_t = (chi_t * sph_t[:, :, None] * fc[:, None, None]).reshape(-1, ln)
+            basis_t = basis_t * trip_mask[:, None]
+
+            basis_t = basis_t.astype(cdtype0)
+
+            # node k of i->k — precomputed at pack time when available (the
+            # T-scale int gather costs ~8 ms/step on v5e if re-derived per step)
+            if graph.triplet_node_k is not None:
+                node_k = jnp.asarray(graph.triplet_node_k)
+            else:
+                node_k = _gather(graph.edge_dst, graph.triplet_e2)
+
+        if self.factorized_triplets:
+            pass
+        elif self.fused_triplets:
             from torch_m3gnet_tpu.ops.pallas_fused_triplet import (
                 fused_triplet_gate_sum,
             )
@@ -434,14 +500,22 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         _seg.enable_pallas(False)
 
     compute_dtype = getattr(config, "compute_dtype", "float32")
+    # The platform the model will actually run on: an explicitly pinned
+    # default device wins over the backend priority list (the CPU test
+    # environment pins CPU while the TPU plugin is still registered).
+    pinned = jax.config.jax_default_device
+    platform = pinned.platform if pinned is not None else jax.default_backend()
+    mode = getattr(config, "threebody_mode", "auto")
     fused = getattr(config, "fused_triplets", "auto")
-    if fused == "auto":
-        # The platform the model will actually run on: an explicitly pinned
-        # default device wins over the backend priority list (the CPU test
-        # environment pins CPU while the TPU plugin is still registered).
-        pinned = jax.config.jax_default_device
-        platform = pinned.platform if pinned is not None else jax.default_backend()
-        fused = "on" if platform == "tpu" else "off"
+    if mode == "auto":
+        if fused != "auto":
+            # Legacy knob set explicitly: honor it.
+            mode = "fused" if fused == "on" else "gather"
+        else:
+            mode = "factorized" if platform == "tpu" else "gather"
+    if mode not in ("gather", "fused", "factorized"):
+        raise ValueError(f"unknown threebody_mode: {mode}")
+    fused = "on" if mode == "fused" else "off"
     model = M3GNet(
         cutoff=config.cutoff,
         threebody_cutoff=config.threebody_cutoff,
@@ -456,6 +530,7 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         compute_dtype=None if compute_dtype in ("float32", None) else compute_dtype,
         remat_triplets=getattr(config, "remat_triplets", False),
         fused_triplets=fused == "on",
+        factorized_triplets=mode == "factorized",
     )
     return M3GNetPotential(
         model, stress_mode=stress_mode, matmul_precision=matmul_precision

@@ -139,6 +139,63 @@ def normalized_spherical_bessel(
     return jnp.stack(chis)  # (l_max, n_max, *r)
 
 
+def racah_l_index(l_max: int) -> np.ndarray:
+    """Degree l of each component of :func:`real_racah_harmonics`: (M,) int,
+    M = sum_{l<l_max} (2l+1) = l_max^2."""
+    return np.concatenate(
+        [np.full(2 * ell + 1, ell, dtype=np.int64) for ell in range(l_max)]
+    )
+
+
+def real_racah_harmonics(u: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """Real Racah-normalized solid harmonics C_lm(u) for l = 0..l_max-1.
+
+    ``u`` is (*batch, 3) of UNIT vectors; output is (*batch, l_max^2) with
+    components grouped by l (see :func:`racah_l_index`), normalized so the
+    Legendre addition theorem holds exactly:
+
+        sum_m C_lm(a) C_lm(b) = P_l(a . b)          for unit a, b.
+
+    This is the identity that factorizes the reference's per-triplet angular
+    term P_l(cos theta_jik) (/root/reference/src/torch_m3gnet/nn/invariant.py
+    via interaction.py:187-202) into per-EDGE features, collapsing the
+    O(T)-scale three-body stage to O(E) dense ops (models/m3gnet.py).
+    Validated against numpy Legendre in tests/test_basis.py.
+    """
+    if l_max > 4:
+        raise NotImplementedError(
+            f"real_racah_harmonics supports l_max <= 4, got {l_max}"
+        )
+    x, y, z = u[..., 0], u[..., 1], u[..., 2]
+    comps = [jnp.ones_like(x)]
+    if l_max > 1:
+        comps += [x, y, z]
+    if l_max > 2:
+        s3 = math.sqrt(3.0)
+        comps += [
+            0.5 * (3.0 * z * z - 1.0),
+            s3 * x * z,
+            s3 * y * z,
+            0.5 * s3 * (x * x - y * y),
+            s3 * x * y,
+        ]
+    if l_max > 3:
+        s6_4 = math.sqrt(6.0) / 4.0
+        s15_2 = math.sqrt(15.0) / 2.0
+        s15 = math.sqrt(15.0)
+        s10_4 = math.sqrt(10.0) / 4.0
+        comps += [
+            0.5 * z * (5.0 * z * z - 3.0),
+            s6_4 * x * (5.0 * z * z - 1.0),
+            s6_4 * y * (5.0 * z * z - 1.0),
+            s15_2 * z * (x * x - y * y),
+            s15 * x * y * z,
+            s10_4 * x * (x * x - 3.0 * y * y),
+            s10_4 * y * (3.0 * x * x - y * y),
+        ]
+    return jnp.stack(comps, axis=-1)
+
+
 def legendre_cos_tmajor(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
     """P_l(x) stacked on the LAST axis: shape (*x.shape, l_max).
 
