@@ -113,7 +113,7 @@ def _fire_inner(potential, params, batch: GraphBatch, cfg: FireConfig, n_steps: 
     atomic ones, and each step's strain increment co-deforms positions and
     lattice inside the loop.
     """
-    nmask = jnp.asarray(batch.node_mask, dtype=jnp.float32)[:, None]
+    nmask = jnp.asarray(batch.node_mask, dtype=jnp.asarray(batch.positions).dtype)[:, None]
     node_graph = jnp.asarray(batch.node_graph)
     n_node = jnp.asarray(batch.n_node)
     nb = batch.num_graphs
@@ -166,8 +166,8 @@ def _fire_inner(potential, params, batch: GraphBatch, cfg: FireConfig, n_steps: 
         lat0,
         jnp.zeros_like(pos0),
         jnp.zeros((nb, 3, 3), pos0.dtype),
-        jnp.full((nb,), cfg.dt_start),
-        jnp.full((nb,), cfg.alpha_start),
+        jnp.full((nb,), cfg.dt_start, pos0.dtype),
+        jnp.full((nb,), cfg.alpha_start, pos0.dtype),
         jnp.zeros((nb,), dtype=jnp.int32),
     )
     pos, lat, *_ = jax.lax.fori_loop(0, n_steps, body, state0)
@@ -185,7 +185,7 @@ def _lbfgs_inner(potential, params, batch: GraphBatch, cfg: LbfgsConfig, n_steps
     clipped to ``maxstep`` per atom (and ``max_strain_step`` per strain
     component with relax_cell).
     """
-    nmask = jnp.asarray(batch.node_mask, dtype=jnp.float32)[:, None]
+    nmask = jnp.asarray(batch.node_mask, dtype=jnp.asarray(batch.positions).dtype)[:, None]
     node_graph = jnp.asarray(batch.node_graph)
     n_node = jnp.asarray(batch.n_node)
     nb = batch.num_graphs
@@ -226,7 +226,7 @@ def _lbfgs_inner(potential, params, batch: GraphBatch, cfg: LbfgsConfig, n_steps
         # iterate j = count-1 .. count-m (absolute ids, most recent first)
         js = count - 1 - jnp.arange(m)  # (m,)
         (q, q_c, alphas), _ = jax.lax.scan(
-            loop1, (g, g_c, jnp.zeros((m, nb))), js
+            loop1, (g, g_c, jnp.zeros((m, nb), g.dtype)), js
         )
 
         # H0 scaling: gamma = s.y / y.y of the most recent pair (per graph)
@@ -299,7 +299,7 @@ def _lbfgs_inner(potential, params, batch: GraphBatch, cfg: LbfgsConfig, n_steps
         jnp.zeros((m,) + pos0.shape, pos0.dtype),
         jnp.zeros((m, nb, 3, 3), pos0.dtype),
         jnp.zeros((m, nb, 3, 3), pos0.dtype),
-        jnp.zeros((nb, m)),
+        jnp.zeros((nb, m), pos0.dtype),
         jnp.zeros((), jnp.int32),
     )
     pos, lat, *_ = jax.lax.fori_loop(0, n_steps, body, state0)
