@@ -10,7 +10,6 @@ table against the reference's hard-coded values.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from torch_m3gnet_tpu.ops.basis import (
     cutoff_poly,
@@ -148,7 +147,7 @@ def test_racah_harmonics_addition_theorem():
     a /= np.linalg.norm(a, axis=1, keepdims=True)
     b /= np.linalg.norm(b, axis=1, keepdims=True)
     cos = np.sum(a * b, axis=1)
-    for l_max in (1, 2, 3, 4):
+    for l_max in (1, 2, 3, 4, 5, 6, 8):
         ca = np.asarray(real_racah_harmonics(jnp.asarray(a), l_max))
         cb = np.asarray(real_racah_harmonics(jnp.asarray(b), l_max))
         l_idx = racah_l_index(l_max)
@@ -159,10 +158,8 @@ def test_racah_harmonics_addition_theorem():
             coef = np.zeros(ell + 1)
             coef[ell] = 1.0
             np.testing.assert_allclose(
-                lhs, np.polynomial.legendre.legval(cos, coef), atol=1e-12
+                lhs, np.polynomial.legendre.legval(cos, coef), atol=1e-10
             )
-    with pytest.raises(NotImplementedError):
-        real_racah_harmonics(jnp.asarray(a), 5)
 
 
 def test_racah_harmonics_differentiable():

@@ -151,3 +151,38 @@ def test_factorized_triplets_training_gradients(al_fcc, na_bcc):
     grads_f = jax.grad(lambda p: loss_and_metrics(pot_f, p, b, cfg)[0])(params)
     for a, c in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-5, rtol=2e-3)
+
+
+def test_bfloat16_factorized_close_to_f32(al_fcc, na_bcc):
+    """bf16 + factorized: the stage runs in the compute dtype (consistent with
+    the gather/fused paths) and stays close to the f32 factorized result."""
+    b = _batch(al_fcc, na_bcc)
+    cfg = CFG.replace(threebody_mode="factorized")
+    pot = build_model(cfg)
+    pot_h = build_model(cfg.replace(compute_dtype="bfloat16"))
+    params = pot.init(jax.random.PRNGKey(0), b)
+    out = pot.apply(params, b)
+    out_h = pot_h.apply(params, b)
+    assert out_h.energy.dtype == out.energy.dtype  # energies stay full precision
+    assert np.isfinite(np.asarray(out_h.forces)).all()
+    np.testing.assert_allclose(
+        np.asarray(out_h.energy[:2]), np.asarray(out.energy[:2]), rtol=0.05, atol=0.05
+    )
+
+
+def test_factorized_triplets_high_lmax(al_fcc, na_bcc):
+    """l_max = 5 exercises the recursion branch of real_racah_harmonics (the
+    factorized default on TPU must not be capped below the gather path)."""
+    cfg = M3GNetConfig(l_max=5, n_max=2, embedding_dim=8, num_blocks=1)
+    b = _batch(al_fcc, na_bcc)
+    pot = build_model(cfg)
+    pot_f = build_model(cfg.replace(threebody_mode="factorized"))
+    params = pot.init(jax.random.PRNGKey(0), b)
+    out = pot.apply(params, b)
+    out_f = pot_f.apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_f.energy), np.asarray(out.energy), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.forces), np.asarray(out.forces), atol=5e-5
+    )

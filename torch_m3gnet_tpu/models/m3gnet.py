@@ -239,10 +239,18 @@ class M3GNet(nn.Module):
             chifc = chi_e * fc_e[:, None, None]  # (E, l, n)
             l_idx = racah_l_index(self.l_max)  # (M,) degree of each component
             ends = np.cumsum([2 * ell + 1 for ell in range(self.l_max)])
+            # Basis factors computed in the geometry dtype (the r_vec VJP flows
+            # through them), then cast once: the stage itself runs in the
+            # compute dtype, consistent with the gather/fused paths' basis_t
+            # cast (bf16 keeps the full HBM/VPU win; parity covered by
+            # tests/test_perf_options.py::test_bfloat16_factorized_close_to_f32).
+            sh = sh.astype(cdtype0)
+            chifc = chifc.astype(cdtype0)
+            fcn_e = (fc_e[:, None, None] * sph_norm[None, :, None]).astype(cdtype0)
 
             def triplet_aggregate(_, gate):
-                gate_e = gather_nodes(gate, graph.edge_dst).astype(dtype)
-                gate_e = gate_e.reshape(-1, self.l_max, self.n_max)
+                gate_e = gather_nodes(gate, graph.edge_dst)
+                gate_e = gate_e.reshape(-1, self.l_max, self.n_max).astype(cdtype0)
                 g = chifc * gate_e  # (E, l, n)
                 w = sh[:, :, None] * g[:, l_idx, :]  # (E, M, n)
                 per_node = segment_sum(
@@ -262,8 +270,8 @@ class M3GNet(nn.Module):
                     ],
                     axis=1,
                 )  # (E, l, n)
-                agg = (fc_e[:, None, None] * sph_norm[None, :, None]) * (proj - g)
-                return agg.reshape(-1, ln).astype(cdtype0)
+                agg = fcn_e * (proj - g)
+                return agg.reshape(-1, ln)
 
             basis_for_blocks = None
         else:

@@ -161,38 +161,39 @@ def real_racah_harmonics(u: jnp.ndarray, l_max: int) -> jnp.ndarray:
     via interaction.py:187-202) into per-EDGE features, collapsing the
     O(T)-scale three-body stage to O(E) dense ops (models/m3gnet.py).
     Validated against numpy Legendre in tests/test_basis.py.
+
+    Works for any ``l_max``: the associated Legendre factor is built with the
+    standard (m, m) -> (m+1, m) -> (l, m) recurrences on the *scaled*
+    polynomials Pi_l^m(z) = P_l^m(z) / r_xy^m (so no (1-z^2)^(m/2) branch
+    cuts — everything is polynomial in x, y, z and grad-safe at the poles),
+    and the azimuthal factor r_xy^m (cos m phi, sin m phi) = (Re, Im)(x+iy)^m
+    via the complex-power recurrence. The Condon-Shortley phase is dropped;
+    it cancels in the C_lm(a) C_lm(b) products the model consumes.
     """
-    if l_max > 4:
-        raise NotImplementedError(
-            f"real_racah_harmonics supports l_max <= 4, got {l_max}"
-        )
     x, y, z = u[..., 0], u[..., 1], u[..., 2]
-    comps = [jnp.ones_like(x)]
-    if l_max > 1:
-        comps += [x, y, z]
-    if l_max > 2:
-        s3 = math.sqrt(3.0)
-        comps += [
-            0.5 * (3.0 * z * z - 1.0),
-            s3 * x * z,
-            s3 * y * z,
-            0.5 * s3 * (x * x - y * y),
-            s3 * x * y,
-        ]
-    if l_max > 3:
-        s6_4 = math.sqrt(6.0) / 4.0
-        s15_2 = math.sqrt(15.0) / 2.0
-        s15 = math.sqrt(15.0)
-        s10_4 = math.sqrt(10.0) / 4.0
-        comps += [
-            0.5 * z * (5.0 * z * z - 3.0),
-            s6_4 * x * (5.0 * z * z - 1.0),
-            s6_4 * y * (5.0 * z * z - 1.0),
-            s15_2 * z * (x * x - y * y),
-            s15 * x * y * z,
-            s10_4 * x * (x * x - 3.0 * y * y),
-            s10_4 * y * (3.0 * x * x - y * y),
-        ]
+    # Pi_l^m(z): pi_mm[m] = (2m-1)!!, then upward in l at fixed m.
+    pi: dict = {(0, 0): jnp.ones_like(z)}
+    for m in range(1, l_max):
+        pi[(m, m)] = (2 * m - 1) * pi[(m - 1, m - 1)]
+    for m in range(l_max):
+        if m + 1 < l_max:
+            pi[(m + 1, m)] = (2 * m + 1) * z * pi[(m, m)]
+        for ell in range(m + 2, l_max):
+            pi[(ell, m)] = (
+                (2 * ell - 1) * z * pi[(ell - 1, m)] - (ell - 1 + m) * pi[(ell - 2, m)]
+            ) / (ell - m)
+    # r_xy^m (cos m phi, sin m phi) = (A_m, B_m), (A,B)_m = (x+iy) (A,B)_{m-1}.
+    a_m, b_m = [jnp.ones_like(x)], [jnp.zeros_like(x)]
+    for m in range(1, l_max):
+        a_m.append(x * a_m[m - 1] - y * b_m[m - 1])
+        b_m.append(x * b_m[m - 1] + y * a_m[m - 1])
+    comps = []
+    for ell in range(l_max):
+        comps.append(pi[(ell, 0)])  # m = 0: P_l(z)
+        for m in range(1, ell + 1):
+            norm = math.sqrt(2.0 * math.factorial(ell - m) / math.factorial(ell + m))
+            comps.append(norm * pi[(ell, m)] * a_m[m])
+            comps.append(norm * pi[(ell, m)] * b_m[m])
     return jnp.stack(comps, axis=-1)
 
 
