@@ -85,6 +85,13 @@ class M3GNetConfig:
     #   "auto"       factorized on TPU, gather elsewhere (unless the legacy
     #                fused_triplets knob explicitly forces the fused kernel)
     threebody_mode: str = "auto"
+    # Activation layout: "em" entity-major (entities, features) — the parity
+    # layout; "fm" feature-major (features, entities) — avoids TPU lane
+    # padding (2x HBM at D=64, 4.7x at l^2*n, 42x for xyz rows) by keeping
+    # the huge entity axis on the 128 lanes. "auto" = fm on TPU when the
+    # three-body stage is factorized, em elsewhere. Parameter trees are
+    # layout-independent.
+    layout: str = "auto"
 
     def replace(self, **kwargs: Any) -> "M3GNetConfig":
         return dataclasses.replace(self, **kwargs)

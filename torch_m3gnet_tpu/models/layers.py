@@ -37,3 +37,72 @@ class GatedMLP(nn.Module):
             g = nn.Dense(dim, use_bias=self.use_bias, name=f"gate_{i}")(g)
             g = nn.sigmoid(g) if i == n - 1 else nn.silu(g)
         return d * g
+
+
+class DenseFM(nn.Module):
+    """Feature-major Dense: input (F_in, M), output (features, M).
+
+    TPU arrays are tiled (8 sublanes, 128 lanes) with the minor-most axis on
+    lanes, so entity-major (M, F) activations with F < 128 are physically
+    padded 128/F-fold in HBM (2x for the model's D = 64, 4.7x for the
+    factorized stage's 27, 42x for xyz vectors). Carrying activations
+    feature-major puts the huge entity axis on lanes instead — the F axis
+    lands on sublanes where padding is only to a multiple of 8.
+
+    The parameter tree is IDENTICAL to ``nn.Dense`` (kernel (F_in, features),
+    bias (features,)), so checkpoints and initializers are interchangeable
+    between the em and fm model paths.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x_fm: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x_fm.shape[0], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        # Match nn.Dense's promote_dtype semantics: with dtype=None the
+        # computation runs in the promoted input/param dtype (f32 for f32
+        # params even when activations are bf16), so em and fm paths agree
+        # bit-for-bit in every compute_dtype mode.
+        dtype = self.dtype or jnp.promote_types(x_fm.dtype, kernel.dtype)
+        y = jnp.einsum(
+            "io,im->om", kernel.astype(dtype), x_fm.astype(dtype)
+        )
+        if bias is not None:
+            y = y + bias.astype(dtype)[:, None]
+        return y
+
+
+class GatedMLPFM(nn.Module):
+    """Feature-major :class:`GatedMLP`; parameter tree identical to it."""
+
+    dimensions: Sequence[int]
+    is_output: bool = False
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x_fm: jnp.ndarray) -> jnp.ndarray:
+        d = x_fm
+        g = x_fm
+        n = len(self.dimensions)
+        for i, dim in enumerate(self.dimensions):
+            d = DenseFM(dim, use_bias=self.use_bias, dtype=self.dtype,
+                        name=f"dense_{i}")(d)
+            if not (self.is_output and i == n - 1):
+                d = nn.silu(d)
+            g = DenseFM(dim, use_bias=self.use_bias, dtype=self.dtype,
+                        name=f"gate_{i}")(g)
+            g = nn.sigmoid(g) if i == n - 1 else nn.silu(g)
+        return d * g

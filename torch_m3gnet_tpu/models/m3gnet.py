@@ -29,17 +29,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from torch_m3gnet_tpu.data.graph import GraphBatch
-from torch_m3gnet_tpu.models.layers import GatedMLP
+from torch_m3gnet_tpu.models.layers import DenseFM, GatedMLP, GatedMLPFM
 from torch_m3gnet_tpu.ops.basis import (
     cutoff_poly,
     legendre_cos_tmajor,
+    normalized_spherical_bessel,
     normalized_spherical_bessel_tmajor,
     racah_l_index,
     real_racah_harmonics,
+    real_racah_harmonics_fm,
     smooth_radial_basis,
+    smooth_radial_basis_fm,
 )
 from torch_m3gnet_tpu.ops.halo import halo_exchange
-from torch_m3gnet_tpu.ops.segment import segment_sum, take
+from torch_m3gnet_tpu.ops.segment import segment_sum, segment_sum_fm, take, take_fm
 
 
 @flax.struct.dataclass
@@ -79,6 +82,38 @@ def edge_vectors(
     lat_e = _gather(lattice.astype(dtype), edge_graph)  # (E, 3, 3)
     shift_vec = jnp.einsum("ep,epq->eq", jnp.asarray(graph.edge_cell_shift, dtype=dtype), lat_e)
     return _gather(positions, graph.edge_dst) + shift_vec - _gather(positions, graph.edge_src)
+
+
+def edge_vectors_fm(
+    graph: GraphBatch,
+    positions: jnp.ndarray,
+    lattice: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Feature-major :func:`edge_vectors`: (3, E) pair vectors.
+
+    Every E-scale intermediate is rank-1 or (k, E) with E on TPU lanes —
+    the entity-major (E, 3) form is physically padded to (E, 128) by the
+    (8, 128) tile, a 42x HBM blowup this layout avoids. Only the tiny
+    (N, 3) / (B, 3, 3) host inputs are transposed.
+    """
+    dtype = positions.dtype
+    if lattice is None:
+        lattice = jnp.asarray(graph.lattice, dtype=dtype)
+    pos_fm = positions.T  # (3, N) — N-scale, cheap
+    edge_graph = _gather(jnp.asarray(graph.node_graph), graph.edge_src)  # (E,)
+    lat_fm = lattice.astype(dtype).reshape(-1, 9).T  # (9, B) tiny
+    lat_e = take_fm(lat_fm, edge_graph)  # (9, E): rows are lattice[p, q]
+    shift_fm = jnp.asarray(graph.edge_cell_shift, dtype=dtype).T  # (3, E)
+    shift_vec = jnp.stack(
+        [
+            sum(shift_fm[p] * lat_e[3 * p + q] for p in range(3))
+            for q in range(3)
+        ],
+        axis=0,
+    )  # (3, E)
+    return (
+        take_fm(pos_fm, graph.edge_dst) + shift_vec - take_fm(pos_fm, graph.edge_src)
+    )
 
 
 class M3GNet(nn.Module):
@@ -128,9 +163,32 @@ class M3GNet(nn.Module):
     # match the cutoff-restricted triplet enumeration exactly).
     # Takes precedence over fused_triplets.
     factorized_triplets: bool = False
+    # Activation layout: "em" (entity-major (E, F), the parity layout) or
+    # "fm" (feature-major (F, E)). TPU tiles are (8 sublanes, 128 lanes) with
+    # the minor-most axis on lanes, so em arrays with F < 128 are physically
+    # lane-padded 128/F-fold in HBM (2x at D = 64, 4.7x at l^2*n = 27, 42x
+    # for xyz rows); fm puts the huge E/N axis on lanes and the small feature
+    # axis on sublanes (padding only to a multiple of 8). Parameter trees are
+    # identical between layouts (DenseFM mirrors nn.Dense), so checkpoints
+    # are interchangeable. fm requires factorized_triplets and no halo_axis,
+    # and consumes (3, E) edge vectors (see :func:`edge_vectors_fm`).
+    layout: str = "em"
 
     @nn.compact
     def __call__(
+        self,
+        graph: GraphBatch,
+        r_vec: jnp.ndarray,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        if self.layout == "fm":
+            if not self.factorized_triplets or self.halo_axis is not None:
+                raise ValueError(
+                    "layout='fm' requires factorized_triplets and no halo_axis"
+                )
+            return self._forward_fm(graph, r_vec)
+        return self._forward_em(graph, r_vec)
+
+    def _forward_em(
         self,
         graph: GraphBatch,
         r_vec: jnp.ndarray,
@@ -385,6 +443,132 @@ class M3GNet(nn.Module):
         atomic_ev = self.energy_scale * scaled_atomic  # (N,) eV
         return total, atomic_ev
 
+    def _forward_fm(
+        self,
+        graph: GraphBatch,
+        r_vec_fm: jnp.ndarray,  # (3, E)
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Feature-major forward: mathematically identical to the em
+        factorized path (same parameters, same contraction order per Dense),
+        with every E/N-scale activation carried as (F, entities)."""
+        dtype = r_vec_fm.dtype
+        d = self.embedding_dim
+        ln = self.l_max * self.n_max
+        m_sz = self.l_max * self.l_max
+        rc = self.cutoff / self.length_scale
+        rc3 = self.threebody_cutoff / self.length_scale
+
+        node_mask = graph.node_mask.astype(dtype)  # (N,)
+        edge_mask = graph.edge_mask.astype(dtype)  # (E,)
+        graph_mask = graph.graph_mask.astype(dtype)  # (B,)
+
+        # --- geometry -----------------------------------------------------
+        r_fm = r_vec_fm / self.length_scale
+        sq = jnp.sum(r_fm * r_fm, axis=0)
+        sq_safe = jnp.where(graph.edge_mask, sq, 1.0)
+        dist = jnp.where(graph.edge_mask, jnp.sqrt(sq_safe), rc)  # (E,)
+
+        # --- featurization ------------------------------------------------
+        cdtype0 = jnp.dtype(self.compute_dtype) if self.compute_dtype else dtype
+        embed = nn.Embed(self.num_types, d, name="atom_embed", dtype=cdtype0)
+        v_fm = embed(graph.atom_types).T  # (D, N) — N-scale transpose, cheap
+
+        ew_fm = smooth_radial_basis_fm(dist, self.n_max, rc).astype(cdtype0)  # (n, E)
+        e_fm = nn.silu(
+            DenseFM(d, use_bias=False, name="edge_init")(ew_fm)
+        )  # (D, E)
+
+        sph_norm = np.array(
+            [math.sqrt((2 * ell + 1) / (4.0 * math.pi)) for ell in range(self.l_max)]
+        )
+
+        # --- factorized three-body stage (fm) -----------------------------
+        u_fm = r_fm / dist[None, :]  # (3, E); padded rows: dist = rc > 0
+        sh_fm = real_racah_harmonics_fm(u_fm, self.l_max)  # (M, E)
+        chi_fm = normalized_spherical_bessel(
+            dist, rc, self.l_max, self.n_max
+        )  # (l, n, E)
+        fc_e = cutoff_poly(dist, rc3) * edge_mask  # (E,)
+        chifc_fm = chi_fm * fc_e[None, None, :]  # (l, n, E)
+        l_idx = racah_l_index(self.l_max)  # (M,)
+        ends = np.cumsum([2 * ell + 1 for ell in range(self.l_max)])
+        sh_fm = sh_fm.astype(cdtype0)
+        chifc_fm = chifc_fm.astype(cdtype0)
+        fcn_fm = (fc_e[None, None, :] * sph_norm[:, None, None]).astype(cdtype0)
+
+        def triplet_aggregate(gate_fm):
+            gate_e = take_fm(gate_fm, graph.edge_dst)  # (ln, E)
+            gate_e = gate_e.reshape(self.l_max, self.n_max, -1).astype(cdtype0)
+            g = chifc_fm * gate_e  # (l, n, E)
+            w = sh_fm[:, None, :] * g[l_idx]  # (M, n, E)
+            per_node = segment_sum_fm(
+                w.reshape(m_sz * self.n_max, -1),
+                graph.edge_src,
+                graph.num_nodes,
+                True,  # edges are sorted by source node
+            )  # (M*n, N)
+            a_e = take_fm(per_node, graph.edge_src).reshape(
+                m_sz, self.n_max, -1
+            )
+            prod = sh_fm[:, None, :] * a_e  # (M, n, E)
+            proj = jnp.stack(
+                [
+                    prod[(ends[ell - 1] if ell else 0) : ends[ell]].sum(axis=0)
+                    for ell in range(self.l_max)
+                ],
+                axis=0,
+            )  # (l, n, E)
+            agg = fcn_fm * (proj - g)
+            return agg.reshape(ln, -1)
+
+        if self.remat_triplets:
+            triplet_aggregate = jax.checkpoint(triplet_aggregate)
+
+        # --- interaction blocks -------------------------------------------
+        for b in range(self.num_blocks):
+            gate_fm = nn.sigmoid(
+                DenseFM(ln, name=f"three_gate_{b}")(v_fm)
+            )  # (ln, N)
+            agg_fm = triplet_aggregate(gate_fm)
+            e_fm = e_fm + GatedMLPFM([d], use_bias=False, name=f"three_mlp_{b}")(
+                agg_fm
+            )
+
+            vi = take_fm(v_fm, graph.edge_src)
+            vj = take_fm(v_fm, graph.edge_dst)
+            concat = jnp.concatenate([vi, vj, e_fm], axis=0)  # (3D, E)
+            e_fm = e_fm + GatedMLPFM([d, d], name=f"conv_edge_{b}")(
+                concat
+            ) * DenseFM(d, use_bias=False, name=f"conv_edge_w_{b}")(ew_fm)
+
+            concat = jnp.concatenate([vi, vj, e_fm], axis=0)
+            node_msg = GatedMLPFM([d, d], name=f"conv_node_{b}")(
+                concat
+            ) * DenseFM(d, use_bias=False, name=f"conv_node_w_{b}")(ew_fm)
+            node_msg = node_msg * edge_mask[None, :]
+            v_fm = v_fm + segment_sum_fm(
+                node_msg, graph.edge_src, graph.num_nodes, True
+            )
+
+        # --- readout ------------------------------------------------------
+        atomic = GatedMLPFM([d, d, 1], is_output=True, name="readout")(v_fm)[0]
+        atomic = atomic.astype(dtype)  # (N,)
+        elem = jnp.asarray(
+            np.asarray(self.elemental_energies, dtype=np.float64)
+            if len(self.elemental_energies)
+            else np.zeros(self.num_types),
+            dtype=dtype,
+        )
+        scaled_atomic = _gather(elem, graph.atom_types) / self.energy_scale + atomic
+        scaled_atomic = scaled_atomic * node_mask
+        scaled_total = segment_sum(
+            scaled_atomic, graph.node_graph, num_segments=graph.num_graphs,
+            indices_are_sorted=True,
+        )
+        total = self.energy_scale * scaled_total * graph_mask  # (B,) eV
+        atomic_ev = self.energy_scale * scaled_atomic  # (N,) eV
+        return total, atomic_ev
+
 
 def _voigt(t: jnp.ndarray) -> jnp.ndarray:
     """(B, 3, 3) -> (B, 6) in the reference's order [xx, yy, zz, yz, zx, xy]
@@ -437,6 +621,8 @@ class M3GNetPotential:
 
     def init(self, rng, graph: GraphBatch):
         positions = jnp.asarray(graph.positions)
+        if self.model.layout == "fm":
+            return self.model.init(rng, graph, edge_vectors_fm(graph, positions))
         return self.model.init(rng, graph, edge_vectors(graph, positions))
 
     def apply(self, params, graph: GraphBatch) -> PotentialOutput:
@@ -444,6 +630,8 @@ class M3GNetPotential:
         return self._japply(params, graph)
 
     def _apply(self, params, graph: GraphBatch) -> PotentialOutput:
+        if self.model.layout == "fm":
+            return self._apply_fm(params, graph)
         positions = jnp.asarray(graph.positions)
         lattice = jnp.asarray(graph.lattice, dtype=positions.dtype)
         nb = graph.num_graphs
@@ -473,6 +661,55 @@ class M3GNetPotential:
                 outer.reshape(-1, 9), edge_graph, num_segments=nb,
                 indices_are_sorted=True,
             ).reshape(-1, 3, 3)
+            per_graph = 0.5 * (per_graph + jnp.swapaxes(per_graph, -1, -2))
+        else:
+            outer = positions[:, :, None] * forces[:, None, :]  # (N, 3, 3)
+            per_graph = segment_sum(
+                outer.reshape(-1, 9), graph.node_graph, num_segments=nb
+            ).reshape(-1, 3, 3)
+        stress = _voigt(per_graph) / volumes[:, None] * gmask[:, None]
+
+        n_node = jnp.maximum(jnp.asarray(graph.n_node), 1)
+        return PotentialOutput(
+            energy=energy,
+            forces=forces,
+            stress=stress,
+            energy_per_atom=energy / n_node.astype(energy.dtype),
+            atomic_energy=atomic,
+        )
+
+    def _apply_fm(self, params, graph: GraphBatch) -> PotentialOutput:
+        """Feature-major head: one VJP with respect to the (3, E) edge
+        vectors; forces/stress assembled from (3, E)/(9, E) rows so no
+        E-scale array ever materializes in the lane-padded (E, 3) layout."""
+        positions = jnp.asarray(graph.positions)
+        lattice = jnp.asarray(graph.lattice, dtype=positions.dtype)
+        nb = graph.num_graphs
+        r_fm = edge_vectors_fm(graph, positions, lattice)  # (3, E)
+
+        def energy_fn(rv_fm):
+            total, atomic = self.model.apply(params, graph, rv_fm)
+            return jnp.sum(total), (total, atomic)
+
+        g_fm, (energy, atomic) = jax.grad(energy_fn, has_aux=True)(r_fm)  # (3, E)
+
+        nmask = graph.node_mask.astype(g_fm.dtype)[None, :]
+        forces_fm = (
+            segment_sum_fm(g_fm, graph.edge_src, graph.num_nodes, True)
+            - segment_sum_fm(g_fm, graph.edge_dst, graph.num_nodes, False)
+        ) * nmask  # (3, N)
+        forces = forces_fm.T  # N-scale transpose, cheap
+
+        volumes = jnp.abs(
+            jnp.sum(lattice[:, 0] * jnp.cross(lattice[:, 1], lattice[:, 2]), axis=-1)
+        )
+        gmask = graph.graph_mask.astype(g_fm.dtype)
+        edge_graph = _gather(jnp.asarray(graph.node_graph), graph.edge_src)
+        if self.stress_mode == "strain":
+            outer_fm = (r_fm[:, None, :] * g_fm[None, :, :]).reshape(9, -1)
+            per_graph = segment_sum_fm(
+                outer_fm, edge_graph, nb, True
+            ).T.reshape(-1, 3, 3)  # (B, 3, 3): B-scale, cheap
             per_graph = 0.5 * (per_graph + jnp.swapaxes(per_graph, -1, -2))
         else:
             outer = positions[:, :, None] * forces[:, None, :]  # (N, 3, 3)
@@ -524,6 +761,14 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
     if mode not in ("gather", "fused", "factorized"):
         raise ValueError(f"unknown threebody_mode: {mode}")
     fused = "on" if mode == "fused" else "off"
+    layout = getattr(config, "layout", "auto")
+    if layout == "auto":
+        # fm measures within ~10% of em on v5e (the A/B is contention-noise
+        # limited; see docs/benchmark.md round-3 notes) — em stays the default
+        # until fm shows a reproducible win at the bench operating point.
+        layout = "em"
+    if layout == "fm" and mode != "factorized":
+        raise ValueError("layout='fm' requires threebody_mode='factorized'")
     model = M3GNet(
         cutoff=config.cutoff,
         threebody_cutoff=config.threebody_cutoff,
@@ -539,6 +784,7 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         remat_triplets=getattr(config, "remat_triplets", False),
         fused_triplets=fused == "on",
         factorized_triplets=mode == "factorized",
+        layout=layout,
     )
     return M3GNetPotential(
         model, stress_mode=stress_mode, matmul_precision=matmul_precision

@@ -171,6 +171,19 @@ def real_racah_harmonics(u: jnp.ndarray, l_max: int) -> jnp.ndarray:
     it cancels in the C_lm(a) C_lm(b) products the model consumes.
     """
     x, y, z = u[..., 0], u[..., 1], u[..., 2]
+    return jnp.stack(_racah_components(x, y, z, l_max), axis=-1)
+
+
+def real_racah_harmonics_fm(u_fm: jnp.ndarray, l_max: int) -> jnp.ndarray:
+    """Feature-major :func:`real_racah_harmonics`: (3, E) unit vectors ->
+    (l_max^2, E) with components on axis 0 — every intermediate is a rank-1
+    (E,) array with E on TPU lanes, so nothing materializes in the 42x-padded
+    (E, 3) layout."""
+    return jnp.stack(_racah_components(u_fm[0], u_fm[1], u_fm[2], l_max), axis=0)
+
+
+def _racah_components(x, y, z, l_max: int) -> list:
+    """Elementwise component list shared by the em/fm stackings."""
     # Pi_l^m(z): pi_mm[m] = (2m-1)!!, then upward in l at fixed m.
     pi: dict = {(0, 0): jnp.ones_like(z)}
     for m in range(1, l_max):
@@ -194,7 +207,7 @@ def real_racah_harmonics(u: jnp.ndarray, l_max: int) -> jnp.ndarray:
             norm = math.sqrt(2.0 * math.factorial(ell - m) / math.factorial(ell + m))
             comps.append(norm * pi[(ell, m)] * a_m[m])
             comps.append(norm * pi[(ell, m)] * b_m[m])
-    return jnp.stack(comps, axis=-1)
+    return comps
 
 
 def legendre_cos_tmajor(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
@@ -232,7 +245,9 @@ def normalized_spherical_bessel_tmajor(
     return jnp.stack(outs, axis=-2)  # (..., l, n)
 
 
-def smooth_radial_basis(r: jnp.ndarray, n_max: int, cutoff: float) -> jnp.ndarray:
+def smooth_radial_basis(
+    r: jnp.ndarray, n_max: int, cutoff: float, axis: int = -1
+) -> jnp.ndarray:
     """Kocer-style smooth radial basis h_m(r), m = 0..n_max-1.
 
     f_m(r) = c_m * (sinc((m+1) pi r / rc) + sinc((m+2) pi r / rc))
@@ -277,4 +292,12 @@ def smooth_radial_basis(r: jnp.ndarray, n_max: int, cutoff: float) -> jnp.ndarra
         else:
             h = (f + math.sqrt(em[i] / dm[i - 1]) * hs[i - 1]) / math.sqrt(dm[i])
         hs.append(h)
-    return jnp.stack(hs, axis=-1)
+    return jnp.stack(hs, axis=axis)
+
+
+def smooth_radial_basis_fm(
+    r: jnp.ndarray, n_max: int, cutoff: float
+) -> jnp.ndarray:
+    """Feature-major :func:`smooth_radial_basis`: shape (n_max, *r.shape) —
+    intermediates stay rank-1 (E on lanes); the stack lands on axis 0."""
+    return smooth_radial_basis(r, n_max, cutoff, axis=0)
