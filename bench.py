@@ -80,17 +80,16 @@ def main() -> None:
     # burst after an idle gap (measured round 3). Protocol: idle-then-burst
     # windows spread over up to ~2 minutes, best window wins — closest to the
     # uncontended steady-state step time.
+    # Contention epochs last minutes: sample for up to ~5 minutes.
     windows = []
-    deadline = time.time() + 120.0
-    while len(windows) < 5 or time.time() < deadline:
-        iters = 10
+    deadline = time.time() + 300.0
+    while len(windows) < 8 or (time.time() < deadline and len(windows) < 90):
+        iters = 8
         t0 = time.perf_counter()
         for _ in range(iters):
             e, f, s = step(params, batch)
         jax.block_until_ready((e, f, s))
         windows.append((time.perf_counter() - t0) / iters)
-        if len(windows) >= 40:
-            break
         time.sleep(2.0)
     dt = min(windows)
 

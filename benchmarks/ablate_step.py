@@ -1,20 +1,23 @@
-"""Ablation timing of the headline step on the real chip.
+"""Stage attribution for the headline step by ablation on the real chip.
 
-The shared-tunnel chip's profiler reports deterministic cost-model times (not
-measured — identical totals across captures), so the real per-stage breakdown
-is obtained by *ablation*: time the full step and variants with pieces removed
-or precision changed, best-of-windows (the only contention-robust protocol
-here), and difference the results.
+The shared-tunnel chip's ``jax.profiler`` emits deterministic cost-model
+times (identical totals across captures — not measurements), so the real
+per-stage breakdown is obtained by *ablation*: time model variants with
+stages removed, interleaved idle-then-burst (see :mod:`abutil`), and
+difference the medians.
 
-Variants:
-  energy_fwd      forward energy only (no force/stress VJP)
-  full_f32        energy + forces + stress, f32 (the bench step)
-  full_bf16       compute_dtype=bfloat16 (halves MLP/activation HBM traffic)
-  full_f32_remat  rematerialized triplet stage (less saved-activation traffic)
-  full_gather     threebody_mode=gather (the O(T) path, for contrast)
-  full_bf16_remat bf16 + remat combined
+Variants (default 32-graph bench batch):
+  full        E+F+S step, f32, factorized three-body (the bench step)
+  conv_only   three-body stage dropped (skip_threebody)
+  nb0         num_blocks=0: geometry + featurization + readout + VJP head
+  energy_fwd  forward energy only (no force/stress VJP)
+  fm          full step in the feature-major layout
+  bf16        compute_dtype=bfloat16
+  gather      threebody_mode=gather (the O(T) path, for contrast; 8-graph
+              batch only — at 32 graphs it does not fit the time budget)
 
-Prints one JSON object with ms per variant + derived stage estimates.
+Derived bins: triplet stage = full - conv_only; conv blocks =
+conv_only - nb0; fixed = nb0. Prints one JSON object.
 """
 
 from __future__ import annotations
@@ -22,51 +25,30 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def interleaved_best(fns_args: dict, iters=15, windows=12, idle_s=2.0):
-    """Idle-then-burst, round-robin timing.
-
-    The tunneled chip runs the first burst after an idle period ~10x faster
-    than sustained back-to-back submission (measured: 0.38 ms vs 4 ms median
-    for the identical executable), so every sample must be preceded by an
-    idle gap, and variants must alternate so their minima see the same
-    contention states. Best-of minima are then directly comparable."""
-    import jax
-
-    for fn, args in fns_args.values():
-        jax.block_until_ready(fn(*args))
-    best = {k: float("inf") for k in fns_args}
-    for _ in range(windows):
-        for name, (fn, args) in fns_args.items():
-            time.sleep(idle_s)
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn(*args)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / iters
-            best[name] = min(best[name], dt)
-    return {k: v * 1e3 for k, v in best.items()}  # ms
+from benchmarks.abutil import paired_compare  # noqa: E402
 
 
-def main() -> None:
+def main(n_graphs: int = 32) -> None:
     import jax
 
     from bench import build_batch
     from torch_m3gnet_tpu.config import M3GNetConfig
     from torch_m3gnet_tpu.models import build_model
+    from torch_m3gnet_tpu.models.m3gnet import M3GNetPotential
 
-    batch = build_batch()
+    batch = build_batch(n_graphs=n_graphs)
     edges = int(np.asarray(batch.edge_mask).sum())
     triplets = int(np.asarray(batch.triplet_mask).sum())
 
-    def make(config_kwargs, energy_only=False):
-        pot = build_model(M3GNetConfig(**config_kwargs))
+    def make(kw=None, model_kw=None, energy_only=False):
+        pot = build_model(M3GNetConfig(**(kw or {})))
+        if model_kw:
+            pot = M3GNetPotential(pot.model.clone(**model_kw))
         params = pot.init(jax.random.PRNGKey(0), batch)
         if energy_only:
             model = pot.model
@@ -75,9 +57,10 @@ def main() -> None:
             def step(params, batch):
                 from torch_m3gnet_tpu.models.m3gnet import edge_vectors
 
-                rv = edge_vectors(batch, batch.positions.astype(np.float32))
+                rv = edge_vectors(batch, jnp_pos(batch))
                 total, _ = model.apply(params, batch, rv)
                 return total
+
         else:
 
             @jax.jit
@@ -87,44 +70,45 @@ def main() -> None:
 
         return step, params
 
+    def jnp_pos(b):
+        import jax.numpy as jnp
+
+        return jnp.asarray(b.positions)
+
     variants = {
-        "energy_fwd": ({}, True),
-        "full_f32": ({}, False),
-        "full_bf16": ({"compute_dtype": "bfloat16"}, False),
-        "full_f32_remat": ({"remat_triplets": True}, False),
-        "full_bf16_remat": (
-            {"compute_dtype": "bfloat16", "remat_triplets": True},
-            False,
-        ),
-        "full_gather": ({"threebody_mode": "gather"}, False),
+        "full": dict(),
+        "conv_only": dict(model_kw={"skip_threebody": True}),
+        "nb0": dict(kw={"num_blocks": 0}),
+        "energy_fwd": dict(energy_only=True),
+        "fm": dict(kw={"layout": "fm", "threebody_mode": "factorized"}),
+        "bf16": dict(kw={"compute_dtype": "bfloat16"}),
     }
 
     fns = {}
-    for name, (kw, eonly) in variants.items():
-        step, params = make(kw, eonly)
+    for name, spec in variants.items():
+        step, params = make(**spec)
         fns[name] = (step, (params, batch))
         print(f"[ablate] compiled {name}", file=sys.stderr, flush=True)
-    results = {k: round(v, 4) for k, v in interleaved_best(fns).items()}
-    for name, ms in results.items():
-        print(f"[ablate] {name}: {ms:.3f} ms", file=sys.stderr, flush=True)
 
+    results = paired_compare(fns, windows=14, iters=8, idle_s=1.5)
+    med = {k: v["median_ms"] for k, v in results.items()}
     report = {
         "edges": edges,
         "triplets": triplets,
+        "graphs": n_graphs,
         "device": str(jax.devices()[0]),
-        "ms": results,
-        "derived": {
-            "force_stress_vjp_ms": round(
-                results["full_f32"] - results["energy_fwd"], 4
-            ),
-            "bf16_speedup": round(results["full_f32"] / results["full_bf16"], 3),
-            "factorized_vs_gather": round(
-                results["full_gather"] / results["full_f32"], 3
-            ),
+        "results": results,
+        "derived_median_ms": {
+            "triplet_stage": round(med["full"] - med["conv_only"], 4),
+            "conv_blocks": round(med["conv_only"] - med["nb0"], 4),
+            "fixed_geometry_readout": round(med["nb0"], 4),
+            "force_stress_vjp": round(med["full"] - med["energy_fwd"], 4),
+            "fm_ratio": results["fm"]["ratio_vs_first"],
+            "bf16_ratio": results["bf16"]["ratio_vs_first"],
         },
     }
     print(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)

@@ -13,24 +13,80 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class _DenseParams(nn.Module):
+    """Owns an ``nn.Dense``-compatible (kernel, bias) pair without applying
+    it — lets a parent fuse several Dense applications into one matmul while
+    keeping the parameter tree identical to unfused ``nn.Dense`` children."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class GatedMLP(nn.Module):
     """Twin dense/gate stacks, output = dense(x) * gate(x).
 
     Parity: /root/reference/src/torch_m3gnet/nn/core.py:6-62 — dense layers are
     Linear+SiLU (last linear if ``is_output``); gate layers are Linear+SiLU with
     a final Sigmoid.
+
+    ``fuse_first=True`` evaluates the two first-layer matmuls (which share
+    the input) as ONE matmul of doubled output width — bit-identical math
+    (each output element is the same K-length dot product), same parameter
+    tree, but a full-width (>=128-lane) MXU pass and a single read of the
+    (E, 3D) input instead of two.
     """
 
     dimensions: Sequence[int]
     is_output: bool = False
     use_bias: bool = True
+    fuse_first: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        d = x
-        g = x
         n = len(self.dimensions)
-        for i, dim in enumerate(self.dimensions):
+        start = 0
+        if self.fuse_first:
+            dim = self.dimensions[0]
+            kd, bd = _DenseParams(
+                x.shape[-1], dim, self.use_bias, name="dense_0"
+            )()
+            kg, bg = _DenseParams(
+                x.shape[-1], dim, self.use_bias, name="gate_0"
+            )()
+            dtype = jnp.promote_types(x.dtype, kd.dtype)
+            h = x.astype(dtype) @ jnp.concatenate(
+                [kd.astype(dtype), kg.astype(dtype)], axis=1
+            )
+            if self.use_bias:
+                h = h + jnp.concatenate([bd, bg]).astype(dtype)
+            d, g = h[..., :dim], h[..., dim:]
+            if not (self.is_output and n == 1):
+                d = nn.silu(d)
+            g = nn.sigmoid(g) if n == 1 else nn.silu(g)
+            start = 1
+        else:
+            d = x
+            g = x
+        for i in range(start, n):
+            dim = self.dimensions[i]
             d = nn.Dense(dim, use_bias=self.use_bias, name=f"dense_{i}")(d)
             if not (self.is_output and i == n - 1):
                 d = nn.silu(d)
@@ -91,13 +147,35 @@ class GatedMLPFM(nn.Module):
     is_output: bool = False
     use_bias: bool = True
     dtype: jnp.dtype | None = None
+    fuse_first: bool = True
 
     @nn.compact
     def __call__(self, x_fm: jnp.ndarray) -> jnp.ndarray:
-        d = x_fm
-        g = x_fm
         n = len(self.dimensions)
-        for i, dim in enumerate(self.dimensions):
+        start = 0
+        if self.fuse_first:
+            dim = self.dimensions[0]
+            kd, bd = _DenseParams(
+                x_fm.shape[0], dim, self.use_bias, name="dense_0"
+            )()
+            kg, bg = _DenseParams(
+                x_fm.shape[0], dim, self.use_bias, name="gate_0"
+            )()
+            dtype = self.dtype or jnp.promote_types(x_fm.dtype, kd.dtype)
+            kc = jnp.concatenate([kd, kg], axis=1).astype(dtype)
+            h = jnp.einsum("io,im->om", kc, x_fm.astype(dtype))
+            if self.use_bias:
+                h = h + jnp.concatenate([bd, bg]).astype(dtype)[:, None]
+            d, g = h[:dim], h[dim:]
+            if not (self.is_output and n == 1):
+                d = nn.silu(d)
+            g = nn.sigmoid(g) if n == 1 else nn.silu(g)
+            start = 1
+        else:
+            d = x_fm
+            g = x_fm
+        for i in range(start, n):
+            dim = self.dimensions[i]
             d = DenseFM(dim, use_bias=self.use_bias, dtype=self.dtype,
                         name=f"dense_{i}")(d)
             if not (self.is_output and i == n - 1):

@@ -173,6 +173,14 @@ class M3GNet(nn.Module):
     # are interchangeable. fm requires factorized_triplets and no halo_axis,
     # and consumes (3, E) edge vectors (see :func:`edge_vectors_fm`).
     layout: str = "em"
+    # Profiling-only: drop the three-body stage entirely (used by
+    # benchmarks/ablate_step.py to attribute step time between the triplet
+    # and conv stages; param tree differs, never for real models).
+    skip_threebody: bool = False
+    # Evaluate each GatedMLP's twin first-layer matmuls as one doubled-width
+    # matmul (bit-identical, same params; full-width MXU pass + single read
+    # of the concat input). Off only for A/B measurement.
+    fuse_gated_mlp: bool = True
 
     @nn.compact
     def __call__(
@@ -397,22 +405,23 @@ class M3GNet(nn.Module):
 
         for b in range(self.num_blocks):
             # ThreeBodyInteraction (interaction.py:138-223)
-            gate = nn.sigmoid(
-                nn.Dense(ln, name=f"three_gate_{b}")(v)
-            )  # (N, l*n)
-            agg = triplet_aggregate(basis_for_blocks, gate)
-            e = e + GatedMLP([d], use_bias=False, name=f"three_mlp_{b}")(agg)
+            if not self.skip_threebody:
+                gate = nn.sigmoid(
+                    nn.Dense(ln, name=f"three_gate_{b}")(v)
+                )  # (N, l*n)
+                agg = triplet_aggregate(basis_for_blocks, gate)
+                e = e + GatedMLP([d], use_bias=False, fuse_first=self.fuse_gated_mlp, name=f"three_mlp_{b}")(agg)
 
             # M3GNetConv (conv.py:12-97)
             vi = _gather(v, graph.edge_src)
             vj = gather_nodes(v, graph.edge_dst)
             concat = jnp.concatenate([vi, vj, e], axis=-1)  # (E, 3D)
-            e = e + GatedMLP([d, d], name=f"conv_edge_{b}")(concat) * nn.Dense(
+            e = e + GatedMLP([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_edge_{b}")(concat) * nn.Dense(
                 d, use_bias=False, name=f"conv_edge_w_{b}"
             )(edge_weights)
 
             concat = jnp.concatenate([vi, vj, e], axis=-1)
-            node_msg = GatedMLP([d, d], name=f"conv_node_{b}")(concat) * nn.Dense(
+            node_msg = GatedMLP([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_node_{b}")(concat) * nn.Dense(
                 d, use_bias=False, name=f"conv_node_w_{b}"
             )(edge_weights)
             node_msg = node_msg * edge_mask[:, None]
@@ -425,7 +434,7 @@ class M3GNet(nn.Module):
 
         # --- readout (readout.py:12-58): accumulate energies in the geometry
         # dtype even under bf16 compute.
-        atomic = GatedMLP([d, d, 1], is_output=True, name="readout")(v)[:, 0]
+        atomic = GatedMLP([d, d, 1], is_output=True, fuse_first=self.fuse_gated_mlp, name="readout")(v)[:, 0]
         atomic = atomic.astype(dtype)  # (N,)
         elem = jnp.asarray(
             np.asarray(self.elemental_energies, dtype=np.float64)
@@ -530,19 +539,19 @@ class M3GNet(nn.Module):
                 DenseFM(ln, name=f"three_gate_{b}")(v_fm)
             )  # (ln, N)
             agg_fm = triplet_aggregate(gate_fm)
-            e_fm = e_fm + GatedMLPFM([d], use_bias=False, name=f"three_mlp_{b}")(
+            e_fm = e_fm + GatedMLPFM([d], use_bias=False, fuse_first=self.fuse_gated_mlp, name=f"three_mlp_{b}")(
                 agg_fm
             )
 
             vi = take_fm(v_fm, graph.edge_src)
             vj = take_fm(v_fm, graph.edge_dst)
             concat = jnp.concatenate([vi, vj, e_fm], axis=0)  # (3D, E)
-            e_fm = e_fm + GatedMLPFM([d, d], name=f"conv_edge_{b}")(
+            e_fm = e_fm + GatedMLPFM([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_edge_{b}")(
                 concat
             ) * DenseFM(d, use_bias=False, name=f"conv_edge_w_{b}")(ew_fm)
 
             concat = jnp.concatenate([vi, vj, e_fm], axis=0)
-            node_msg = GatedMLPFM([d, d], name=f"conv_node_{b}")(
+            node_msg = GatedMLPFM([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_node_{b}")(
                 concat
             ) * DenseFM(d, use_bias=False, name=f"conv_node_w_{b}")(ew_fm)
             node_msg = node_msg * edge_mask[None, :]
@@ -551,7 +560,7 @@ class M3GNet(nn.Module):
             )
 
         # --- readout ------------------------------------------------------
-        atomic = GatedMLPFM([d, d, 1], is_output=True, name="readout")(v_fm)[0]
+        atomic = GatedMLPFM([d, d, 1], is_output=True, fuse_first=self.fuse_gated_mlp, name="readout")(v_fm)[0]
         atomic = atomic.astype(dtype)  # (N,)
         elem = jnp.asarray(
             np.asarray(self.elemental_energies, dtype=np.float64)
