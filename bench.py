@@ -53,7 +53,17 @@ def build_batch(n_graphs: int = 8, n_cells: int = 3, seed: int = 0):
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # Persistent compile cache: TPU compiles go through a remote service
+    # (1-5 min); caching makes repeat bench runs start in seconds.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/m3g_jax"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from torch_m3gnet_tpu.config import M3GNetConfig
     from torch_m3gnet_tpu.models import build_model

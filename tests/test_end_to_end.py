@@ -294,3 +294,43 @@ def test_lbfgs_relaxation_reduces_forces_and_stress():
     st1 = float(np.abs(np.asarray(pot.apply(params, g1).stress)).max())
     assert st1 < st0, (st1, st0)
     assert not np.allclose(relaxed[0].lattice, s0.lattice)
+
+
+def test_predict_cli(tmp_path, monkeypatch, capsys):
+    """predict CLI: structures JSON in -> E/F/S JSON out, physics sane."""
+    a = 3.62
+    structs = [
+        {
+            "lattice": (np.eye(3) * a).tolist(),
+            "frac_coords": [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+            "atomic_numbers": [29, 29, 29, 29],
+        }
+    ]
+    path = tmp_path / "structs.json"
+    path.write_text(json.dumps(structs))
+
+    cfg = {"l_max": 2, "n_max": 2, "embedding_dim": 8, "num_blocks": 1}
+    cfg_path = tmp_path / "cfg.yaml"
+    import yaml
+
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from torch_m3gnet_tpu.cli import predict
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["predict", "--structures", str(path), "--config", str(cfg_path)],
+    )
+    predict.main()
+    out = capsys.readouterr().out
+    result = json.loads(out[out.index("["):])
+    assert len(result) == 1
+    r = result[0]
+    assert r["num_atoms"] == 4 and len(r["forces"]) == 4
+    # perfect fcc: forces vanish by symmetry, stress is isotropic
+    assert np.abs(np.asarray(r["forces"])).max() < 1e-5
+    s = np.asarray(r["stress_voigt"])
+    np.testing.assert_allclose(s[0], s[1], atol=1e-6)
+    np.testing.assert_allclose(s[3:], 0.0, atol=1e-6)
+    assert np.isfinite(r["energy_per_atom"])
