@@ -384,3 +384,69 @@ def test_graph_parallel_factorized_triplets_matches(mesh):
     np.testing.assert_allclose(
         np.asarray(out.stress)[0], np.asarray(ref.stress)[0], atol=5e-6
     )
+
+
+def test_graph_parallel_factorized_matches(mesh):
+    """The factorized three-body stage composes with graph parallelism
+    as-is: its A-features are per-SOURCE-node aggregates and the partitioner
+    keeps same-source edges shard-local (the same invariant the conv
+    node-update relies on), so the only cross-shard read is the gate at
+    edge_dst — already served by the halo exchange. E/F/S must match the
+    single-device factorized (== gather) result."""
+    s = _big_structure(seed=11)
+    g = graph_from_structure(s, 5.0, 4.0)
+
+    cfg = CONFIG.replace(threebody_mode="factorized", layout="em")
+    pot = build_model(cfg)
+    single = pad_batch(g, g.num_nodes, g.num_edges, g.num_triplets, 1)
+    params = pot.init(jax.random.PRNGKey(2), single)
+    ref = pot.apply(params, single)
+
+    n = g.num_nodes
+    gp = GraphParallelPotential(pot.model, mesh)
+    for halo in (True, False):
+        out = gp.apply(params, partition_graph(g, 4, halo=halo))
+        np.testing.assert_allclose(
+            float(out.energy[0]), float(ref.energy[0]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.forces)[:n], np.asarray(ref.forces)[:n], atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.stress)[0], np.asarray(ref.stress)[0], atol=1e-5
+        )
+
+
+def test_graph_parallel_factorized_loss_grads(mesh):
+    """Training gradients through the gp factorized stage (gate halo
+    exchange + shard-local A-feature aggregation) match single-device."""
+    from torch_m3gnet_tpu.train.loop import loss_and_metrics
+
+    rng = np.random.default_rng(13)
+    s = _big_structure(seed=13)
+    g = graph_from_structure(s, 5.0, 4.0)
+    g = g.replace(
+        energy=np.array([-150.0], dtype=np.float32),
+        forces=(0.1 * rng.standard_normal((g.num_nodes, 3))).astype(np.float32),
+        stress=(0.01 * rng.standard_normal((1, 6))).astype(np.float32),
+    )
+    cfg = CONFIG.replace(threebody_mode="factorized", layout="em", stress_weight=0.1)
+
+    pot = build_model(cfg)
+    single = pad_batch(g, g.num_nodes, g.num_edges, g.num_triplets, 1)
+    params = pot.init(jax.random.PRNGKey(4), single)
+
+    def ref_loss(p):
+        loss, _ = loss_and_metrics(pot, p, single, cfg)
+        return loss
+
+    ref_val = float(ref_loss(params))
+    ref_grads = jax.grad(ref_loss)(params)
+
+    gp = GraphParallelPotential(pot.model, mesh)
+    sharded = partition_graph(g, 4)
+    loss_fn = gp.make_loss(cfg)
+    np.testing.assert_allclose(float(loss_fn(params, sharded)), ref_val, rtol=1e-5)
+    gp_grads = jax.grad(lambda p: loss_fn(p, sharded))(params)
+    for a, b in zip(jax.tree.leaves(gp_grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
