@@ -1,8 +1,10 @@
 """End-to-end numerical parity against an independent transcription.
 
 BASELINE.md requires per-layer/whole-model numerical parity with the reference
-implementation. The reference's torch stack cannot run here (no
-torch-geometric/torch-scatter), so this test re-derives the published equations
+implementation. This file pins our jitted model to an independent numpy
+transcription; tests/test_reference_parity.py additionally pins both against
+the LIVE torch reference (imported via utils/reference_shims.py). This test
+re-derives the published equations
 (/root/reference/docs/architecture.md:69-193 and the reference sources cited in
 each layer's docstring) in straight numpy/scipy f64 — scipy's spherical_jn,
 np.sinc, explicit loops, np.add.at scatters — and checks our jitted JAX model

@@ -88,9 +88,10 @@ class M3GNetConfig:
     # Activation layout: "em" entity-major (entities, features) — the parity
     # layout; "fm" feature-major (features, entities) — avoids TPU lane
     # padding (2x HBM at D=64, 4.7x at l^2*n, 42x for xyz rows) by keeping
-    # the huge entity axis on the 128 lanes. "auto" = fm on TPU when the
-    # three-body stage is factorized, em elsewhere. Parameter trees are
-    # layout-independent.
+    # the huge entity axis on the 128 lanes. "auto" currently resolves to em
+    # everywhere (fm measures within contention noise of em on v5e; opt in
+    # with layout="fm" — requires threebody_mode="factorized"). Parameter
+    # trees are layout-independent.
     layout: str = "auto"
 
     def replace(self, **kwargs: Any) -> "M3GNetConfig":

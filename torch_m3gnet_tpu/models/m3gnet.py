@@ -181,6 +181,11 @@ class M3GNet(nn.Module):
     # matmul (bit-identical, same params; full-width MXU pass + single read
     # of the concat input). Off only for A/B measurement.
     fuse_gated_mlp: bool = True
+    # Optional chi-normalization override: flattened (l_max * n_max) floats
+    # replacing ops/basis.chi_norm_constants. Used by the parity harness to
+    # reproduce the torch reference's LITERAL (buggy, ~1e-12) normalization —
+    # see ops/basis.reference_literal_chi_norm and docs/reference_parity.md.
+    chi_norm: tuple = ()
 
     @nn.compact
     def __call__(
@@ -284,6 +289,13 @@ class M3GNet(nn.Module):
         sph_norm = np.array(
             [math.sqrt((2 * ell + 1) / (4.0 * math.pi)) for ell in range(self.l_max)]
         )
+        chi_norm = (
+            np.asarray(self.chi_norm, dtype=np.float64).reshape(
+                self.l_max, self.n_max
+            )
+            if self.chi_norm
+            else None
+        )
 
         # --- interaction blocks ------------------------------------------
         if self.factorized_triplets:
@@ -299,7 +311,7 @@ class M3GNet(nn.Module):
             u_hat = r_vec / dist[:, None]  # padded rows: dist = rc > 0
             sh = real_racah_harmonics(u_hat, self.l_max)  # (E, M), M = l_max^2
             chi_e = normalized_spherical_bessel_tmajor(
-                dist, rc, self.l_max, self.n_max
+                dist, rc, self.l_max, self.n_max, norm_override=chi_norm
             )  # (E, l, n)
             fc_e = cutoff_poly(dist, rc3) * edge_mask  # (E,)
             chifc = chi_e * fc_e[:, None, None]  # (E, l, n)
@@ -348,7 +360,7 @@ class M3GNet(nn.Module):
             fc = cutoff_poly(rij, rc3) * cutoff_poly(rik, rc3)  # (T,)
             sph_t = legendre_cos_tmajor(cos_jik, self.l_max) * sph_norm  # (T, l)
             chi_t = normalized_spherical_bessel_tmajor(
-                rik, rc, self.l_max, self.n_max
+                rik, rc, self.l_max, self.n_max, norm_override=chi_norm
             )  # (T, l, n)
             basis_t = (chi_t * sph_t[:, :, None] * fc[:, None, None]).reshape(-1, ln)
             basis_t = basis_t * trip_mask[:, None]
@@ -491,11 +503,19 @@ class M3GNet(nn.Module):
             [math.sqrt((2 * ell + 1) / (4.0 * math.pi)) for ell in range(self.l_max)]
         )
 
+        chi_norm = (
+            np.asarray(self.chi_norm, dtype=np.float64).reshape(
+                self.l_max, self.n_max
+            )
+            if self.chi_norm
+            else None
+        )
+
         # --- factorized three-body stage (fm) -----------------------------
         u_fm = r_fm / dist[None, :]  # (3, E); padded rows: dist = rc > 0
         sh_fm = real_racah_harmonics_fm(u_fm, self.l_max)  # (M, E)
         chi_fm = normalized_spherical_bessel(
-            dist, rc, self.l_max, self.n_max
+            dist, rc, self.l_max, self.n_max, norm_override=chi_norm
         )  # (l, n, E)
         fc_e = cutoff_poly(dist, rc3) * edge_mask  # (E,)
         chifc_fm = chi_fm * fc_e[None, None, :]  # (l, n, E)
@@ -535,13 +555,16 @@ class M3GNet(nn.Module):
 
         # --- interaction blocks -------------------------------------------
         for b in range(self.num_blocks):
-            gate_fm = nn.sigmoid(
-                DenseFM(ln, name=f"three_gate_{b}")(v_fm)
-            )  # (ln, N)
-            agg_fm = triplet_aggregate(gate_fm)
-            e_fm = e_fm + GatedMLPFM([d], use_bias=False, fuse_first=self.fuse_gated_mlp, name=f"three_mlp_{b}")(
-                agg_fm
-            )
+            # skip_threebody honored exactly like the em path so fm ablations
+            # attribute the triplet stage correctly (benchmarks/ablate_step.py)
+            if not self.skip_threebody:
+                gate_fm = nn.sigmoid(
+                    DenseFM(ln, name=f"three_gate_{b}")(v_fm)
+                )  # (ln, N)
+                agg_fm = triplet_aggregate(gate_fm)
+                e_fm = e_fm + GatedMLPFM([d], use_bias=False, fuse_first=self.fuse_gated_mlp, name=f"three_mlp_{b}")(
+                    agg_fm
+                )
 
             vi = take_fm(v_fm, graph.edge_src)
             vj = take_fm(v_fm, graph.edge_dst)
@@ -739,8 +762,13 @@ class M3GNetPotential:
 
 def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
                 length_scale: float = 1.0, stress_mode: str = "strain",
-                matmul_precision: str | None = None) -> M3GNetPotential:
-    """Assemble a potential from a config (parity: build.py:16-83)."""
+                matmul_precision: str | None = None,
+                chi_norm_override=None) -> M3GNetPotential:
+    """Assemble a potential from a config (parity: build.py:16-83).
+
+    ``chi_norm_override``: optional (l_max, n_max) chi normalization constants
+    (see ops/basis.reference_literal_chi_norm; parity harness only).
+    """
     if matmul_precision is None:
         matmul_precision = getattr(config, "matmul_precision", "default")
     pallas = getattr(config, "pallas_segment", "auto")
@@ -794,6 +822,11 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         fused_triplets=fused == "on",
         factorized_triplets=mode == "factorized",
         layout=layout,
+        chi_norm=(
+            tuple(np.asarray(chi_norm_override, dtype=np.float64).ravel().tolist())
+            if chi_norm_override is not None
+            else ()
+        ),
     )
     return M3GNetPotential(
         model, stress_mode=stress_mode, matmul_precision=matmul_precision

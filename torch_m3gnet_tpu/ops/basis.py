@@ -111,24 +111,78 @@ def legendre_cos_all(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
     return jnp.stack(out)
 
 
-def normalized_spherical_bessel(
-    r: jnp.ndarray, cutoff: float, l_max: int, n_max: int
-) -> jnp.ndarray:
-    """chi_ln(r) = sqrt(2/rc^3) * j_l(z_ln r/rc) / |j_{l+1}(z_ln)|.
+def chi_norm_constants(cutoff: float, l_max: int, n_max: int) -> np.ndarray:
+    """Default (textbook M3GNet) chi normalization constants, (l_max, n_max):
+    sqrt(2/rc^3) / |j_{l+1}(z_ln)| with z_ln the n-th root of j_l.
 
-    Returns shape (l_max, n_max, *r.shape). Normalization constants are
-    host-side numpy, constant-folded into the jitted graph.
+    NOTE — deliberate deviation from the torch reference: the reference's
+    ``NormalizedSphericalBessel`` (interaction.py:248-281) computes
+    ``factors[l, n] = sqrt(2/rc^3) / |j_{l+1}(z_{l+1,n})|`` — evaluating
+    j_{l+1} at its OWN roots, which is ~0 up to the zeros-table truncation
+    (~1e-13) — and then DIVIDES by it: ``chi = j / factors``. The shipped
+    reference chi is therefore ~1e-12 and its entire three-body stage is
+    numerically a no-op (verified live via utils/reference_shims.py; see
+    docs/reference_parity.md). We default to the intended normalization and
+    expose ``reference_literal_chi_norm`` + the ``norm_override`` hooks so the
+    parity harness can still pin our stack bit-for-bit to the literal
+    reference behavior.
     """
-    zeros = spherical_bessel_zeros(l_max + 1, n_max)  # (l_max+1, n_max)
-    # |j_{l+1}(z_ln)| at the l-th order roots
     from scipy.special import spherical_jn
 
-    norm = np.stack(
+    zeros = spherical_bessel_zeros(l_max + 1, n_max)
+    return np.stack(
         [
             math.sqrt(2.0 / cutoff**3) / np.abs(spherical_jn(ell + 1, zeros[ell]))
             for ell in range(l_max)
         ]
     )  # (l_max, n_max)
+
+
+def reference_literal_chi_norm(
+    cutoff: float, l_max: int, n_max: int, zeros_table: np.ndarray | None = None
+) -> np.ndarray:
+    """(l_max, n_max) constants reproducing the torch reference's LITERAL chi.
+
+    Mirrors interaction.py:256-281: chi = j_l(z_ln r/rc) / factors with
+    factors = sqrt(2/rc^3) / |j_{l+1}(z_{l+1,n})|, i.e. the returned constant
+    is |j_{l+1}(z_{l+1,n})| / sqrt(2/rc^3). Because j_{l+1} is evaluated at
+    its own tabulated roots, the value depends on the PRECISION of the zeros
+    table; for exact parity pass the reference's table (read at runtime from
+    the live import, e.g. ``torch_m3gnet.nn.interaction.SPHERICAL_BESSEL_ZEROS``).
+    """
+    from scipy.special import spherical_jn
+
+    zeros = (
+        np.asarray(zeros_table, dtype=np.float64)
+        if zeros_table is not None
+        else spherical_bessel_zeros(l_max + 2, n_max)
+    )
+    return np.stack(
+        [
+            np.abs(spherical_jn(ell + 1, zeros[ell + 1][:n_max]))
+            / math.sqrt(2.0 / cutoff**3)
+            for ell in range(l_max)
+        ]
+    )
+
+
+def normalized_spherical_bessel(
+    r: jnp.ndarray, cutoff: float, l_max: int, n_max: int,
+    norm_override: np.ndarray | None = None,
+) -> jnp.ndarray:
+    """chi_ln(r) = norm_ln * j_l(z_ln r/rc); default norm is
+    :func:`chi_norm_constants`, ``norm_override`` (l_max, n_max) replaces it
+    (parity with the reference's literal constants).
+
+    Returns shape (l_max, n_max, *r.shape). Normalization constants are
+    host-side numpy, constant-folded into the jitted graph.
+    """
+    zeros = spherical_bessel_zeros(l_max + 1, n_max)  # (l_max+1, n_max)
+    norm = (
+        np.asarray(norm_override, dtype=np.float64)
+        if norm_override is not None
+        else chi_norm_constants(cutoff, l_max, n_max)
+    )
 
     # j_l evaluated at z_ln * r / rc for every (l, n): evaluate per order.
     chis = []
@@ -225,18 +279,16 @@ def legendre_cos_tmajor(x: jnp.ndarray, l_max: int) -> jnp.ndarray:
 
 
 def normalized_spherical_bessel_tmajor(
-    r: jnp.ndarray, cutoff: float, l_max: int, n_max: int
+    r: jnp.ndarray, cutoff: float, l_max: int, n_max: int,
+    norm_override: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """chi_ln(r) with entity-major layout: shape (*r.shape, l_max, n_max)."""
     zeros = spherical_bessel_zeros(l_max + 1, n_max)
-    from scipy.special import spherical_jn
-
-    norm = np.stack(
-        [
-            math.sqrt(2.0 / cutoff**3) / np.abs(spherical_jn(ell + 1, zeros[ell]))
-            for ell in range(l_max)
-        ]
-    )  # (l_max, n_max)
+    norm = (
+        np.asarray(norm_override, dtype=np.float64)
+        if norm_override is not None
+        else chi_norm_constants(cutoff, l_max, n_max)
+    )
     outs = []
     for ell in range(l_max):
         z = r[..., None] * (zeros[ell] / cutoff)  # (..., n)

@@ -37,7 +37,8 @@ def _gated_mlp(x, layers):
 
 
 def reference_energy_numpy(
-    p, g, cfg, elemental, energy_scale, return_intermediates: bool = False
+    p, g, cfg, elemental, energy_scale, return_intermediates: bool = False,
+    chi_norm=None,
 ):
     """Reference-equation forward (f64 numpy/scipy).
 
@@ -115,10 +116,23 @@ def reference_energy_numpy(
         ]
     )  # (l, T)
     zeros = spherical_bessel_zeros(lmax + 1, nmax)
+    # chi normalization: textbook M3GNet by default; chi_norm (l, n) overrides
+    # (used to mirror the reference's literal constants — see
+    # ops/basis.reference_literal_chi_norm and docs/reference_parity.md)
+    cn = (
+        np.asarray(chi_norm, dtype=np.float64)
+        if chi_norm is not None
+        else np.stack(
+            [
+                np.sqrt(2 / rc**3) / np.abs(spherical_jn(ell + 1, zeros[ell]))
+                for ell in range(lmax)
+            ]
+        )
+    )
     chi = np.stack(
         [
             spherical_jn(ell, zeros[ell][:, None] * dist[t2][None, :] / rc)
-            * (np.sqrt(2 / rc**3) / np.abs(spherical_jn(ell + 1, zeros[ell])))[:, None]
+            * cn[ell][:, None]
             for ell in range(lmax)
         ]
     )  # (l, n, T)
