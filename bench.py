@@ -16,6 +16,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``BASELINE_RATE`` is the round-1 XLA-segment-sum implementation on one v5e
 chip (the reference publishes no numbers — SURVEY.md §6); vs_baseline tracks
 speedups across rounds against that fixed point.
+
+The detail object carries the disaggregated numbers (ADVICE r3):
+- ``same_op_rate`` / ``vs_baseline_same_op``: the 8-graph operating point the
+  round-1 baseline was measured at, so round-over-round kernel-level
+  improvement is separated from the ~1.9x batch-size scaling in the headline;
+- ``train_*``: full training-step throughput (loss + grad-of-grad + Adam
+  update at the 32-graph point) and the train:eval step-time ratio — a
+  training framework bench that only times inference is half a number.
 """
 
 from __future__ import annotations
@@ -52,6 +60,35 @@ def build_batch(n_graphs: int = 8, n_cells: int = 3, seed: int = 0):
     return pack_structures(structures, 5.0, 4.0, pad_multiple=512)
 
 
+def _best_window(run_burst, budget_s: float, iters: int, min_windows: int = 6,
+                 max_windows: int = 90) -> float:
+    """Idle-then-burst timing protocol (docs/benchmark.md): the shared-tunnel
+    chip sees minute-scale contention epochs (up to ~50x) and throttles
+    sustained submission ~10x, so spread short bursts over the budget and
+    take the best per-iteration time."""
+    import jax
+
+    windows = []
+    deadline = time.time() + budget_s
+    while len(windows) < min_windows or (
+        time.time() < deadline and len(windows) < max_windows
+    ):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = run_burst()
+        jax.block_until_ready(out)
+        windows.append((time.perf_counter() - t0) / iters)
+        time.sleep(2.0)
+    return min(windows)
+
+
+def _items(batch) -> int:
+    return int(np.asarray(batch.edge_mask).sum()) + int(
+        np.asarray(batch.triplet_mask).sum()
+    )
+
+
 def main() -> None:
     import os
 
@@ -80,31 +117,49 @@ def main() -> None:
         out = pot.apply(params, batch)
         return out.energy, out.forces, out.stress
 
-    # compile + warmup
-    e, f, s = step(params, batch)
-    jax.block_until_ready((e, f, s))
-
-    # The chip is reached through a shared tunnel; single timing windows vary
-    # up to ~50x under minute-scale contention epochs, and sustained
-    # back-to-back submission is itself throttled ~10x relative to the first
-    # burst after an idle gap (measured round 3). Protocol: idle-then-burst
-    # windows spread over up to ~2 minutes, best window wins — closest to the
-    # uncontended steady-state step time.
-    # Contention epochs last minutes: sample for up to ~5 minutes.
-    windows = []
-    deadline = time.time() + 300.0
-    while len(windows) < 8 or (time.time() < deadline and len(windows) < 90):
-        iters = 8
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            e, f, s = step(params, batch)
-        jax.block_until_ready((e, f, s))
-        windows.append((time.perf_counter() - t0) / iters)
-        time.sleep(2.0)
-    dt = min(windows)
-
+    # --- headline: E/F/S eval at the 32-graph operating point -------------
+    jax.block_until_ready(step(params, batch))  # compile + warmup
+    dt = _best_window(lambda: step(params, batch), budget_s=240.0, iters=8,
+                      min_windows=8)
     rate = (real_edges + real_triplets) / dt
     vs = rate / BASELINE_RATE if BASELINE_RATE else 1.0
+
+    # --- same-operating-point rate (8 graphs, where round 1 measured) ------
+    batch8 = build_batch(n_graphs=8)
+    jax.block_until_ready(step(params, batch8))
+    dt8 = _best_window(lambda: step(params, batch8), budget_s=60.0, iters=16)
+    rate8 = _items(batch8) / dt8
+
+    # --- training-step throughput (loss + grad-of-grad + Adam update) ------
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from torch_m3gnet_tpu.train.loop import Trainer
+
+    rng = np.random.default_rng(7)
+    nb = batch.positions.shape[0]
+    train_batch = batch.replace(
+        energy=(-3.5 * np.asarray(batch.n_node)).astype(np.float32),
+        forces=rng.standard_normal((nb, 3)).astype(np.float32) * 0.1,
+        stress=rng.standard_normal((batch.lattice.shape[0], 6)).astype(np.float32)
+        * 0.01,
+    )
+    trainer = Trainer(
+        pot, M3GNetConfig(batch_size=32), log_dir=tempfile.mkdtemp()
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), train_batch)
+    lr = jnp.asarray(1e-3)
+
+    def train_burst():
+        nonlocal state
+        state, metrics = trainer.train_step(state, train_batch, lr)
+        return state.params
+
+    jax.block_until_ready(train_burst())  # compile + warmup
+    dt_train = _best_window(train_burst, budget_s=120.0, iters=8)
+    train_rate = (real_edges + real_triplets) / dt_train
+
     print(
         json.dumps(
             {
@@ -117,6 +172,12 @@ def main() -> None:
                     "triplets": real_triplets,
                     "graphs": int(np.asarray(batch.graph_mask).sum()),
                     "step_ms": round(dt * 1e3, 3),
+                    "same_op_rate": round(rate8, 1),
+                    "vs_baseline_same_op": round(rate8 / BASELINE_RATE, 3),
+                    "same_op_step_ms": round(dt8 * 1e3, 3),
+                    "train_step_ms": round(dt_train * 1e3, 3),
+                    "train_rate": round(train_rate, 1),
+                    "train_to_eval_ratio": round(dt_train / dt, 3),
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -13,8 +13,10 @@ Variants (default 32-graph bench batch):
   energy_fwd  forward energy only (no force/stress VJP)
   fm          full step in the feature-major layout
   bf16        compute_dtype=bfloat16
-  gather      threebody_mode=gather (the O(T) path, for contrast; 8-graph
-              batch only — at 32 graphs it does not fit the time budget)
+
+(The O(T) gather path is not a variant here: at the 32-graph operating point
+it does not fit the time budget, and its contrast vs the factorized stage is
+already recorded in docs/benchmark.md round-2/3 notes at 8 graphs.)
 
 Derived bins: triplet stage = full - conv_only; conv blocks =
 conv_only - nb0; fixed = nb0. Prints one JSON object.

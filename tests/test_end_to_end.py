@@ -80,6 +80,32 @@ def test_mlearn_loader_roundtrip(tmp_path):
     assert s.properties["stress"].shape == (6,)
 
 
+def test_mlearn_stress_shear_order(tmp_path):
+    """Pin the VASP->Voigt shear remap (data/io.py module docstring).
+
+    The payload's virial_stress is VASP order [xx, yy, zz, xy, yz, zx]
+    (load_mlearn_dataset.py:39-40); the model emits Voigt
+    [xx, yy, zz, yz, zx, xy] (gradient.py:50-58 and our PotentialOutput). The
+    default loader must place yz at slot 3, zx at 4, xy at 5. The reference's
+    literal gather [0, 1, 2, 5, 3, 4] instead lands [zx, xy, yz] there — kept
+    reproducible behind shear_order="reference"."""
+    d = _write_mlearn_dir(tmp_path, n_train=1, n_test=1)
+    rec = json.loads((d / "training.json").read_text())
+    vasp = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]  # xx yy zz xy yz zx, kbar
+    rec[0]["outputs"]["virial_stress"] = vasp
+    (d / "training.json").write_text(json.dumps(rec))
+
+    (s,) = load_mlearn_json(str(d / "training.json"))
+    got = s.properties["stress"] * 1602.1766208
+    np.testing.assert_allclose(got, [1, 2, 3, 5, 6, 4])  # xx yy zz yz zx xy
+
+    (s_ref,) = load_mlearn_json(
+        str(d / "training.json"), shear_order="reference"
+    )
+    got_ref = s_ref.properties["stress"] * 1602.1766208
+    np.testing.assert_allclose(got_ref, [1, 2, 3, 6, 4, 5])  # shears permuted
+
+
 def test_train_mlearn_cli(tmp_path, monkeypatch, capsys):
     d = _write_mlearn_dir(tmp_path)
     cfg = {

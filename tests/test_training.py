@@ -134,6 +134,48 @@ def test_checkpoint_roundtrip(tmp_path):
     assert restored.step == state.step
 
 
+def test_predict_restore_rebuilds_scaled_model(tmp_path):
+    """ADVICE r3 (high): a checkpoint restored for prediction must reproduce
+    the TRAINING-time model — including the fitted elemental energies and
+    energy scale that live on the model, not in the TrainState. Exercises the
+    sidecar + params-only restore path used by cli/predict.py."""
+    structures = _perturbed_fcc_set(2)
+    graphs = [graph_from_structure(s, 4.0, 3.0) for s in structures]
+    graphs = _teacher_targets(graphs, CONFIG)
+
+    elemental = [0.0] * CONFIG.num_types
+    elemental[28] = -3.7
+    scale = 1.9
+    pot = build_model(CONFIG, elemental_energies=elemental, energy_scale=scale)
+    trainer = Trainer(pot, CONFIG, log_dir=str(tmp_path))
+    bucket = BucketSpec.for_batches(graphs, 2, pad_multiple=32)
+    example = next(batch_iterator(graphs, 2, bucket))
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    state, _ = trainer.train_step(state, example, jax.numpy.asarray(1e-3))
+    want = pot.apply(state.params, example)
+    trainer.save_checkpoint(str(tmp_path / "ckpt"), state, tag="best")
+
+    # predict-side: rebuild from config + sidecar only (no live trainer)
+    ckpt_path = str(tmp_path / "ckpt" / "best")
+    meta = Trainer.load_meta(ckpt_path)
+    assert meta is not None
+    assert meta["energy_scale"] == pytest.approx(scale)
+    assert meta["elemental_energies"][28] == pytest.approx(-3.7)
+    pot2 = build_model(
+        CONFIG,
+        elemental_energies=meta["elemental_energies"],
+        energy_scale=meta["energy_scale"],
+    )
+    params2 = Trainer.load_params(ckpt_path)
+    got = pot2.apply(params2, example)
+    np.testing.assert_allclose(
+        np.asarray(got.energy), np.asarray(want.energy), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.forces), np.asarray(want.forces), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_set_lr_actually_changes_step_size():
     """The injected lr is applied every step and a wrong optax chain raises
     instead of silently freezing the lr (VERDICT r1 weak #7)."""

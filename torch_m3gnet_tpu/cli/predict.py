@@ -62,23 +62,31 @@ def main() -> None:
     config = M3GNetConfig.from_yaml(args.config) if args.config else M3GNetConfig()
     structures = load_structures(args.structures, args.format)
 
-    pot = build_model(config)
-    example = pack_structures(
-        structures[: args.batch_size], config.cutoff, config.threebody_cutoff
-    )
-    params = pot.init(jax.random.PRNGKey(args.seed), example)
     if args.checkpoint:
-        import os
+        # Rebuild with the constants baked in at training time (sidecar
+        # written by Trainer.save_checkpoint): the fitted elemental energies
+        # and energy scale are model attributes, not checkpoint variables.
+        from torch_m3gnet_tpu.train.loop import Trainer
 
-        import orbax.checkpoint as ocp
-
-        from torch_m3gnet_tpu.train.loop import TrainState
-
-        ckptr = ocp.StandardCheckpointer()
-        state = ckptr.restore(
-            os.path.abspath(args.checkpoint), TrainState(params=params, opt_state=None)
+        meta = Trainer.load_meta(args.checkpoint)
+        if meta is None:
+            raise SystemExit(
+                f"no sidecar {args.checkpoint}.meta.json — re-save the "
+                "checkpoint with this version's Trainer, or pass a model "
+                "built with explicit elemental energies"
+            )
+        pot = build_model(
+            config,
+            elemental_energies=meta["elemental_energies"],
+            energy_scale=meta["energy_scale"],
         )
-        params = state.params
+        params = Trainer.load_params(args.checkpoint)
+    else:
+        pot = build_model(config)
+        example = pack_structures(
+            structures[: args.batch_size], config.cutoff, config.threebody_cutoff
+        )
+        params = pot.init(jax.random.PRNGKey(args.seed), example)
 
     results = []
     for lo in range(0, len(structures), args.batch_size):

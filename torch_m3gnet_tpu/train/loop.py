@@ -329,6 +329,23 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
+        # Sidecar with the model constants train_model bakes into the
+        # potential as non-trainable attributes (fitted elemental energies +
+        # residual-std energy scale, train/run.py:48-50). They are NOT in the
+        # TrainState, so a predict-time rebuild from config alone would get
+        # wrong absolute energies and 1/energy_scale-mis-scaled forces
+        # (ADVICE r3, high). load_meta()/load_params() consume this.
+        model = getattr(self.potential, "model", None)
+        meta = {
+            "elemental_energies": [
+                float(x) for x in (getattr(model, "elemental_energies", ()) or ())
+            ],
+            "energy_scale": float(getattr(model, "energy_scale", 1.0)),
+            "epoch": int(state.epoch),
+            "step": int(state.step),
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
 
     def restore_checkpoint(
         self, ckpt_dir: str, example_state: TrainState, tag: str = "last"
@@ -338,3 +355,37 @@ class Trainer:
         path = os.path.abspath(os.path.join(ckpt_dir, tag))
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(path, example_state)
+
+    @staticmethod
+    def load_params(ckpt_path: str):
+        """Restore only the variables ('params' field of the saved
+        TrainState) from an orbax checkpoint — no structurally matching
+        opt_state target required, so prediction-time restores work against
+        checkpoints written with any optimizer configuration."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(ckpt_path)
+        # Restore against shape/dtype metadata (NOT the saved shardings — the
+        # device names recorded at save time need not exist in the restoring
+        # process, e.g. train-on-TPU then predict-on-CPU).
+        meta = ckptr.metadata(path)
+        device = jax.config.jax_default_device or jax.local_devices()[0]
+        sharding = jax.sharding.SingleDeviceSharding(device)
+
+        def to_abstract(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(tuple(x.shape), x.dtype, sharding=sharding)
+            return x
+
+        raw = ckptr.restore(path, jax.tree.map(to_abstract, meta.item_metadata))
+        return raw["params"]
+
+    @staticmethod
+    def load_meta(ckpt_path: str) -> Optional[dict]:
+        """Read the save_checkpoint sidecar (elemental energies / scale)."""
+        p = os.path.abspath(ckpt_path) + ".meta.json"
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
