@@ -18,6 +18,7 @@ import os
 from torch_m3gnet_tpu.config import M3GNetConfig
 from torch_m3gnet_tpu.data.dataset import GraphDataset
 from torch_m3gnet_tpu.data.io import load_mpf_pickles
+from torch_m3gnet_tpu.data.streaming import StreamingGraphDataset
 from torch_m3gnet_tpu.train.run import train_model
 
 
@@ -29,6 +30,13 @@ def main() -> None:
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--num-workers", type=int, default=1)
     ap.add_argument("--resume", default=None)
+    ap.add_argument(
+        "--in-memory", action="store_true",
+        help="use the in-memory GraphDataset instead of the sharded "
+        "streaming cache (default streams: MPF is ~187k structures and the "
+        "single-pickle cache would not survive that — data/streaming.py)",
+    )
+    ap.add_argument("--shard-size", type=int, default=256)
     args = ap.parse_args()
 
     config = (
@@ -48,15 +56,22 @@ def main() -> None:
     )
 
     cache = os.path.join(config.root, "cache")
-    mk = lambda structs, name: GraphDataset(
-        structs, config.cutoff, config.threebody_cutoff,
-        cache_dir=cache, num_workers=args.num_workers, name=name,
-    )
+    if args.in_memory:
+        mk = lambda structs, name: GraphDataset(
+            structs, config.cutoff, config.threebody_cutoff,
+            cache_dir=cache, num_workers=args.num_workers, name=name,
+        ).graphs
+    else:
+        mk = lambda structs, name: StreamingGraphDataset(
+            structs, config.cutoff, config.threebody_cutoff,
+            cache_dir=cache, name=name, shard_size=args.shard_size,
+            num_workers=args.num_workers, num_types=config.num_types,
+        )
     trainer, state, metrics = train_model(
         config,
-        mk(train_s, "train").graphs,
-        val_graphs=mk(val_s, "val").graphs,
-        test_graphs=mk(test_s, "test").graphs,
+        mk(train_s, "train"),
+        val_graphs=mk(val_s, "val"),
+        test_graphs=mk(test_s, "test"),
         resume_checkpoint=args.resume,
         max_epochs=args.max_epochs,
     )

@@ -1,0 +1,386 @@
+"""Streaming graph dataset: sharded npz cache + lazy, prefetched iteration.
+
+The in-memory ``GraphDataset`` (data/dataset.py) holds every graph in one
+pickle — fine for mlearn (~10^3 structures), fatal for MPF.2021.2.8
+pretraining (~187k structures, BASELINE.json configs[3]): the reference at
+least streams batches through PyG loaders
+(/root/reference/src/torch_m3gnet/model/litmodule.py:225-233). This module is
+the scale path (VERDICT r3 next #6):
+
+- **Build**: structures are converted in a process pool and written as shards
+  of ``shard_size`` graphs; each shard is ONE compressed npz holding the
+  concatenated arrays plus per-graph counts (no per-graph file overhead, one
+  sequential read per shard). A small index npz carries per-graph sizes,
+  energies, and species counts, so bucket construction and the elemental fit
+  never touch the shard payloads.
+- **Iterate**: ``iter_graphs`` / ``stream_batches`` load one shard at a time
+  with a background prefetch thread (double buffering); peak RSS is
+  O(shard_size) graphs regardless of dataset size. Shuffling is two-level
+  (shard order, then within-shard order) — the standard streaming trade-off.
+- **Fit**: ``fit_elemental_energies_streaming`` solves the same least squares
+  as train/elemental.py from the index alone (normal equations, minimum-norm
+  pinv solution == numpy lstsq on the dense matrix).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import queue
+import threading
+from concurrent.futures import ProcessPoolExecutor
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from torch_m3gnet_tpu.data.dataset import BucketSpec
+from torch_m3gnet_tpu.data.graph import (
+    GraphBatch,
+    batch_graphs,
+    graph_from_structure,
+    pad_batch,
+    round_up,
+)
+from torch_m3gnet_tpu.data.structure import Structure
+
+_CONCAT_FIELDS = (
+    # (field, per-graph count attr)
+    ("positions", "n"),
+    ("atom_types", "n"),
+    ("edge_src", "e"),
+    ("edge_dst", "e"),
+    ("edge_cell_shift", "e"),
+    ("triplet_e1", "t"),
+    ("triplet_e2", "t"),
+    ("triplet_node_k", "t"),
+    ("forces", "n"),
+)
+
+
+def _build_one(args) -> GraphBatch:
+    structure, cutoff, threebody_cutoff = args
+    return graph_from_structure(structure, cutoff, threebody_cutoff)
+
+
+def _pack_shard(graphs: Sequence[GraphBatch]) -> dict:
+    """Concatenate a shard's graphs into one flat array dict."""
+    out: dict = {
+        "n_node": np.array([g.num_nodes for g in graphs], np.int64),
+        "n_edge": np.array([g.num_edges for g in graphs], np.int64),
+        "n_triplet": np.array([g.num_triplets for g in graphs], np.int64),
+        "lattice": np.concatenate([np.asarray(g.lattice) for g in graphs]),
+    }
+    for field, _ in _CONCAT_FIELDS:
+        vals = [getattr(g, field) for g in graphs]
+        if any(v is None for v in vals):
+            continue
+        out[field] = np.concatenate([np.asarray(v) for v in vals])
+    if all(g.energy is not None for g in graphs):
+        out["energy"] = np.concatenate([np.asarray(g.energy) for g in graphs])
+    if all(g.stress is not None for g in graphs):
+        out["stress"] = np.concatenate([np.asarray(g.stress) for g in graphs])
+    return out
+
+
+def _unpack_shard(z) -> list[GraphBatch]:
+    """Rebuild the shard's unpadded graphs by slicing the flat arrays."""
+    n_node, n_edge, n_trip = z["n_node"], z["n_edge"], z["n_triplet"]
+    starts = {
+        "n": np.concatenate([[0], np.cumsum(n_node)]),
+        "e": np.concatenate([[0], np.cumsum(n_edge)]),
+        "t": np.concatenate([[0], np.cumsum(n_trip)]),
+    }
+    arrays = {f: z[f] if f in z else None for f, _ in _CONCAT_FIELDS}
+    lattice = z["lattice"]
+    energy = z["energy"] if "energy" in z else None
+    stress = z["stress"] if "stress" in z else None
+
+    graphs = []
+    for i in range(len(n_node)):
+        sl = {
+            axis: slice(starts[axis][i], starts[axis][i + 1])
+            for axis in ("n", "e", "t")
+        }
+        n = int(n_node[i])
+
+        def take(field, axis):
+            a = arrays[field]
+            return None if a is None else a[sl[axis]]
+
+        graphs.append(
+            GraphBatch(
+                positions=take("positions", "n"),
+                atom_types=take("atom_types", "n"),
+                node_graph=np.zeros(n, np.int32),
+                node_mask=np.ones(n, bool),
+                edge_src=take("edge_src", "e"),
+                edge_dst=take("edge_dst", "e"),
+                edge_cell_shift=take("edge_cell_shift", "e"),
+                edge_mask=np.ones(int(n_edge[i]), bool),
+                triplet_e1=take("triplet_e1", "t"),
+                triplet_e2=take("triplet_e2", "t"),
+                triplet_mask=np.ones(int(n_trip[i]), bool),
+                triplet_node_k=take("triplet_node_k", "t"),
+                lattice=lattice[i : i + 1],
+                graph_mask=np.ones(1, bool),
+                n_node=np.array([n], np.int32),
+                energy=None if energy is None else energy[i : i + 1],
+                forces=take("forces", "n"),
+                stress=None if stress is None else stress[i : i + 1],
+                num_graphs_real=1,
+            )
+        )
+    return graphs
+
+
+class StreamingGraphDataset:
+    """Sharded on-disk graph dataset with bounded-memory iteration."""
+
+    def __init__(
+        self,
+        structures: Optional[Iterable[Structure]],
+        cutoff: float,
+        threebody_cutoff: float,
+        cache_dir: str,
+        name: str = "dataset",
+        shard_size: int = 256,
+        num_workers: int = 0,
+        num_types: int = 95,
+        expected_count: Optional[int] = None,
+    ):
+        """Build (or open) the shard cache.
+
+        ``structures`` may be any iterable (including a generator — nothing
+        is held beyond the current shard); pass ``None`` to open an existing
+        cache unconditionally. ``expected_count`` keys the cache when
+        ``structures`` is a generator with no ``len``.
+        """
+        self.cutoff = cutoff
+        self.threebody_cutoff = threebody_cutoff
+        self.num_types = num_types
+        count = (
+            expected_count
+            if expected_count is not None
+            else (len(structures) if hasattr(structures, "__len__") else "gen")
+        )
+        key = hashlib.sha1(
+            f"{name}:{count}:{cutoff}:{threebody_cutoff}:{shard_size}".encode()
+        ).hexdigest()[:8]
+        self.dir = os.path.join(cache_dir, f"stream_{name}_{key}")
+        self._index_path = os.path.join(self.dir, "index.npz")
+        self._meta_path = os.path.join(self.dir, "meta.json")
+
+        if not os.path.exists(self._meta_path):
+            if structures is None:
+                raise FileNotFoundError(f"no stream cache at {self.dir}")
+            self._build(structures, shard_size, num_workers)
+        self._load_index()
+
+    # ------------------------------------------------------------------
+    def _build(self, structures, shard_size: int, num_workers: int) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        jobs = (
+            (s, self.cutoff, self.threebody_cutoff) for s in structures
+        )
+        if num_workers > 1:
+            pool = ProcessPoolExecutor(max_workers=num_workers)
+            graph_iter = pool.map(_build_one, jobs, chunksize=8)
+        else:
+            pool = None
+            graph_iter = map(_build_one, jobs)
+
+        sizes_n, sizes_e, sizes_t, energies = [], [], [], []
+        species = []
+        n_shards = 0
+        buf: list[GraphBatch] = []
+        has_forces = has_stress = True
+        try:
+            for g in graph_iter:
+                buf.append(g)
+                sizes_n.append(g.num_nodes)
+                sizes_e.append(g.num_edges)
+                sizes_t.append(g.num_triplets)
+                energies.append(
+                    float(np.asarray(g.energy).sum()) if g.energy is not None
+                    else np.nan
+                )
+                species.append(
+                    np.bincount(
+                        np.asarray(g.atom_types), minlength=self.num_types
+                    ).astype(np.int32)
+                )
+                has_forces &= g.forces is not None
+                has_stress &= g.stress is not None
+                if len(buf) == shard_size:
+                    self._write_shard(n_shards, buf)
+                    n_shards += 1
+                    buf = []
+            if buf:
+                self._write_shard(n_shards, buf)
+                n_shards += 1
+        finally:
+            if pool is not None:
+                pool.shutdown()
+
+        np.savez_compressed(
+            self._index_path,
+            n_node=np.array(sizes_n, np.int64),
+            n_edge=np.array(sizes_e, np.int64),
+            n_triplet=np.array(sizes_t, np.int64),
+            energy=np.array(energies, np.float64),
+            species=np.stack(species) if species else np.zeros((0, self.num_types), np.int32),
+        )
+        with open(self._meta_path, "w") as f:
+            json.dump(
+                {
+                    "n_graphs": len(sizes_n),
+                    "n_shards": n_shards,
+                    "shard_size": shard_size,
+                    "has_forces": bool(has_forces),
+                    "has_stress": bool(has_stress),
+                    "cutoff": self.cutoff,
+                    "threebody_cutoff": self.threebody_cutoff,
+                },
+                f,
+            )
+
+    def _write_shard(self, i: int, graphs: Sequence[GraphBatch]) -> None:
+        np.savez_compressed(
+            os.path.join(self.dir, f"shard_{i:05d}.npz"), **_pack_shard(graphs)
+        )
+
+    def _load_index(self) -> None:
+        with open(self._meta_path) as f:
+            self.meta = json.load(f)
+        z = np.load(self._index_path)
+        self.sizes_n = z["n_node"]
+        self.sizes_e = z["n_edge"]
+        self.sizes_t = z["n_triplet"]
+        self.energies = z["energy"]
+        self.species = z["species"]
+        self.n_shards = self.meta["n_shards"]
+        self.shard_size = self.meta["shard_size"]
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return int(self.meta["n_graphs"])
+
+    def load_shard(self, i: int) -> list[GraphBatch]:
+        with np.load(os.path.join(self.dir, f"shard_{i:05d}.npz")) as z:
+            return _unpack_shard(z)
+
+    def iter_graphs(
+        self, rng: Optional[np.random.Generator] = None, prefetch: int = 2
+    ) -> Iterator[GraphBatch]:
+        """Lazily yield unpadded graphs; shard-level + in-shard shuffling.
+
+        A daemon thread keeps up to ``prefetch`` decoded shards ahead, so
+        graph construction IO overlaps accelerator compute.
+        """
+        shard_order = np.arange(self.n_shards)
+        if rng is not None:
+            rng.shuffle(shard_order)
+        q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        seeds = (
+            rng.integers(0, 2**31, size=self.n_shards) if rng is not None else None
+        )
+
+        def producer():
+            try:
+                for k, si in enumerate(shard_order):
+                    graphs = self.load_shard(int(si))
+                    if seeds is not None:
+                        order = np.random.default_rng(int(seeds[k])).permutation(
+                            len(graphs)
+                        )
+                        graphs = [graphs[j] for j in order]
+                    q.put(graphs)
+            except BaseException as exc:  # surfaced by the consumer
+                q.put(exc)
+                return
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield from item
+
+    # ------------------------------------------------------------------
+    def bucket(self, batch_size: int, pad_multiple: int = 128) -> BucketSpec:
+        """Worst-case BucketSpec from the index (no shard reads)."""
+        k = min(batch_size, len(self))
+        top = lambda a: int(np.sort(a)[::-1][:k].sum())
+        return BucketSpec(
+            max_nodes=round_up(top(self.sizes_n) + 1, pad_multiple),
+            max_edges=round_up(top(self.sizes_e) + 1, pad_multiple),
+            max_triplets=round_up(top(self.sizes_t) + 1, pad_multiple),
+            max_graphs=batch_size,
+        )
+
+
+def stream_batches(
+    ds: StreamingGraphDataset,
+    batch_size: int,
+    bucket: BucketSpec,
+    rng: Optional[np.random.Generator] = None,
+    drop_last: bool = False,
+) -> Iterator[GraphBatch]:
+    """Padded static-shape batches from a streaming dataset (bounded RSS)."""
+    pending: list[GraphBatch] = []
+    for g in ds.iter_graphs(rng=rng):
+        pending.append(g)
+        if len(pending) == batch_size:
+            cat = batch_graphs(pending)
+            pending = []
+            yield pad_batch(
+                cat, bucket.max_nodes, bucket.max_edges,
+                bucket.max_triplets, bucket.max_graphs,
+            )
+    if pending and not drop_last:
+        cat = batch_graphs(pending)
+        yield pad_batch(
+            cat, bucket.max_nodes, bucket.max_edges,
+            bucket.max_triplets, bucket.max_graphs,
+        )
+
+
+def fit_elemental_energies_streaming(
+    ds: StreamingGraphDataset,
+) -> tuple[np.ndarray, float]:
+    """Same fit as train/elemental.py, from the index (normal equations).
+
+    pinv(A^T A) A^T y is the minimum-norm least-squares solution — identical
+    (up to fp) to numpy lstsq on the dense design matrix; the residual std
+    comes from y^T y, A^T y and the column sums, no second pass needed.
+    """
+    A = ds.species.astype(np.float64)  # (G, S)
+    y = ds.energies
+    if np.isnan(y).any():
+        raise ValueError("all graphs need energy targets for the elemental fit")
+    # Shard-sized blocks keep peak memory bounded for very large G.
+    S = A.shape[1]
+    ata = np.zeros((S, S))
+    aty = np.zeros(S)
+    yty = 0.0
+    ysum = 0.0
+    colsum = np.zeros(S)
+    n = len(y)
+    step = 65536
+    for lo in range(0, n, step):
+        a, yy = A[lo : lo + step], y[lo : lo + step]
+        ata += a.T @ a
+        aty += a.T @ yy
+        yty += float(yy @ yy)
+        ysum += float(yy.sum())
+        colsum += a.sum(axis=0)
+    coeffs = np.linalg.pinv(ata) @ aty
+    rss = yty - 2 * coeffs @ aty + coeffs @ ata @ coeffs
+    rsum = ysum - coeffs @ colsum
+    var = max(rss / n - (rsum / n) ** 2, 0.0)
+    return coeffs, max(float(np.sqrt(var)), 1e-8)

@@ -30,7 +30,18 @@ def train_model(
     resume_checkpoint: Optional[str] = None,
     max_epochs: Optional[int] = None,
 ) -> tuple[Trainer, TrainState, dict]:
-    """Train a potential; returns (trainer, final state, test metrics)."""
+    """Train a potential; returns (trainer, final state, test metrics).
+
+    ``train_graphs``/``val_graphs``/``test_graphs`` may be in-memory graph
+    sequences or :class:`~torch_m3gnet_tpu.data.streaming.StreamingGraphDataset`
+    instances (the MPF-scale path: bounded RSS, shard-level shuffling,
+    prefetch; see data/streaming.py).
+    """
+    if hasattr(train_graphs, "iter_graphs"):
+        return _train_model_streaming(
+            config, train_graphs, val_graphs, test_graphs,
+            resume_checkpoint, max_epochs,
+        )
     if val_graphs is None:
         # Split test out too (config.test_ratio) unless the caller provided an
         # explicit test set — the reference splits all three
@@ -136,4 +147,72 @@ def train_model(
         else:
             test_iter = batch_iterator(test_graphs, config.batch_size, bucket)
         test_metrics = trainer.evaluate(state.params, test_iter)
+    return trainer, state, test_metrics
+
+
+def _train_model_streaming(
+    config: M3GNetConfig,
+    train_ds,
+    val_ds,
+    test_ds,
+    resume_checkpoint: Optional[str],
+    max_epochs: Optional[int],
+) -> tuple[Trainer, TrainState, dict]:
+    """Streaming-dataset branch of :func:`train_model` (single device).
+
+    All three splits must be StreamingGraphDataset (or None); the bucket is
+    the elementwise max over splits so every batch shares one compiled shape.
+    """
+    from torch_m3gnet_tpu.data.dataset import BucketSpec
+    from torch_m3gnet_tpu.data.streaming import (
+        fit_elemental_energies_streaming,
+        stream_batches,
+    )
+
+    if max(1, config.num_devices) > 1:
+        raise NotImplementedError(
+            "streaming datasets are single-device for now; shard the dataset "
+            "per host and use dp across hosts instead"
+        )
+    splits = [d for d in (train_ds, val_ds, test_ds) if d is not None]
+    per_split = [d.bucket(config.batch_size, config.pad_multiple) for d in splits]
+    bucket = BucketSpec(
+        max_nodes=max(b.max_nodes for b in per_split),
+        max_edges=max(b.max_edges for b in per_split),
+        max_triplets=max(b.max_triplets for b in per_split),
+        max_graphs=config.batch_size,
+    )
+
+    elemental, scale = fit_elemental_energies_streaming(train_ds)
+    pot = build_model(
+        config, elemental_energies=list(map(float, elemental)), energy_scale=scale
+    )
+    trainer = Trainer(pot, config, log_dir=os.path.join(config.root, "logs"))
+    rng = np.random.default_rng(config.seed)
+
+    def train_batches(epoch: int):
+        return stream_batches(train_ds, config.batch_size, bucket, rng=rng)
+
+    def val_batches():
+        return stream_batches(val_ds, config.batch_size, bucket)
+
+    example = next(train_batches(0))
+    state = trainer.init_state(jax.random.PRNGKey(config.seed), example)
+    ckpt_dir = os.path.join(config.root, "checkpoints")
+    if resume_checkpoint:
+        state = trainer.restore_checkpoint(resume_checkpoint, state, tag="last")
+
+    state = trainer.fit(
+        state,
+        train_batches,
+        val_batches if val_ds is not None else None,
+        max_epochs=max_epochs,
+        checkpoint_dir=ckpt_dir,
+    )
+
+    test_metrics: dict = {}
+    if test_ds is not None:
+        test_metrics = trainer.evaluate(
+            state.params, stream_batches(test_ds, config.batch_size, bucket)
+        )
     return trainer, state, test_metrics
