@@ -151,3 +151,33 @@ def test_native_threebody_matches_numpy(al_fcc, na_bcc, tio2_rutile):
         b = compute_threebody(len(s), ei, dist, 4.0, use_native=False)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_triplet_counts_helper(al_fcc, na_bcc):
+    """triplet_counts recovers the reference's num_triplet_i/num_triplet_ij
+    schema attributes (material_graph.py:91-106) from a (padded) batch:
+    analytic d*(d-1) per node and d-1 per in-cutoff edge."""
+    from torch_m3gnet_tpu.data.graph import (
+        batch_graphs,
+        graph_from_structure,
+        pad_batch,
+        triplet_counts,
+    )
+
+    # first shells: fcc-Al a=4.05 -> 2.86 A (12 nbrs); bcc-Na a=4.29 ->
+    # 3.72 A (8 nbrs); cutoffs chosen just above each
+    g = batch_graphs(
+        [
+            graph_from_structure(al_fcc, 3.0, 3.0),
+            graph_from_structure(na_bcc, 3.8, 3.8),
+        ]
+    )
+    padded = pad_batch(g, g.num_nodes + 3, g.num_edges + 5, g.num_triplets + 7, 2)
+    n_i, n_ij = triplet_counts(padded)
+    np.testing.assert_array_equal(n_i[:4], np.full(4, 12 * 11))
+    np.testing.assert_array_equal(n_i[4:6], np.full(2, 8 * 7))
+    assert n_i[6:].sum() == 0  # padded nodes carry no triplets
+    e = np.asarray(padded.edge_mask, bool)
+    assert set(n_ij[e][: 4 * 12].tolist()) == {11}  # fcc edges: d-1 = 11
+    assert set(n_ij[e][4 * 12 :].tolist()) == {7}  # bcc edges: d-1 = 7
+    assert n_ij[~e].sum() == 0

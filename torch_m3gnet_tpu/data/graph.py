@@ -245,6 +245,31 @@ def cast_batch(batch: GraphBatch, dtype) -> GraphBatch:
     )
 
 
+def triplet_counts(batch: GraphBatch) -> tuple[np.ndarray, np.ndarray]:
+    """Per-node / per-edge triplet counts, recovered from the batch arrays.
+
+    Schema parity with the reference's ``num_triplet_i`` / ``num_triplet_ij``
+    graph attributes (/root/reference/src/torch_m3gnet/data/material_graph.py:
+    91-106 and :196-254) — unused by the model in both codebases, so they are
+    derived on demand instead of being carried as pytree fields:
+
+    - ``num_triplet_i[n]``  = triplets whose center (source) node is n
+      (= d*(d-1) for full neighbor lists within the 3-body cutoff);
+    - ``num_triplet_ij[e]`` = triplets whose FIRST edge is e (the reference's
+      convention: d(src)-1 for edges within the 3-body cutoff, 0 otherwise).
+
+    Padded triplets are excluded; shapes are the (padded) N and E.
+    """
+    e1 = np.asarray(batch.triplet_e1)[np.asarray(batch.triplet_mask, bool)]
+    num_edges = np.asarray(batch.edge_src).shape[-1]
+    num_nodes = np.asarray(batch.positions).shape[-2]
+    num_triplet_ij = np.bincount(e1, minlength=num_edges)
+    num_triplet_i = np.bincount(
+        np.asarray(batch.edge_src)[e1], minlength=num_nodes
+    )
+    return num_triplet_i, num_triplet_ij
+
+
 def round_up(x: int, multiple: int) -> int:
     if multiple <= 1:
         return max(x, 1)
