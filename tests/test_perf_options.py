@@ -186,3 +186,71 @@ def test_factorized_triplets_high_lmax(al_fcc, na_bcc):
     np.testing.assert_allclose(
         np.asarray(out_f.forces), np.asarray(out.forces), atol=5e-5
     )
+
+
+def test_fuse_gated_second_matches_unfused(al_fcc, na_bcc):
+    """Block-diagonal full GatedMLP fusion (models/layers.py fuse_second):
+    the zero blocks contribute exact +0.0, so with the same params E/F/S
+    match the unfused twin stacks up to fp reassociation of the wider
+    contraction (~1 ulp) — in both layouts."""
+    b = _batch(al_fcc, na_bcc)
+    pot = build_model(CFG)
+    params = pot.init(jax.random.PRNGKey(0), b)
+    out = pot.apply(params, b)
+
+    pot_f = build_model(CFG.replace(fuse_gated_second=True))
+    out_f = pot_f.apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out.energy), np.asarray(out_f.energy), rtol=2e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.forces), np.asarray(out_f.forces), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.stress), np.asarray(out_f.stress), atol=1e-7
+    )
+
+    # fm layout: fused-second vs the em reference path (same params)
+    cfg_fm = CFG.replace(
+        threebody_mode="factorized", layout="fm", fuse_gated_second=True
+    )
+    cfg_em = CFG.replace(threebody_mode="factorized")
+    out_em = build_model(cfg_em).apply(params, b)
+    out_fm = build_model(cfg_fm).apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_em.energy), np.asarray(out_fm.energy),
+        rtol=1e-5, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_em.forces), np.asarray(out_fm.forces), atol=1e-5
+    )
+
+
+def test_fuse_gated_second_training_gradients(al_fcc, na_bcc):
+    """Loss value AND parameter gradients (grad-of-grad through the fused
+    blocks on the force path) match the unfused path."""
+    from torch_m3gnet_tpu.train.loop import loss_and_metrics
+
+    rng = np.random.default_rng(3)
+    b = _batch(al_fcc, na_bcc)
+    b = b.replace(
+        energy=np.array([-10.0, -4.0], np.float32),
+        forces=(0.1 * rng.standard_normal(b.positions.shape)).astype(np.float32),
+        stress=(0.01 * rng.standard_normal((2, 6))).astype(np.float32),
+    )
+    cfg = CFG.replace(stress_weight=0.1)
+    pot = build_model(cfg)
+    pot_f = build_model(cfg.replace(fuse_gated_second=True))
+    params = pot.init(jax.random.PRNGKey(1), b)
+
+    def loss(p, potential):
+        val, _ = loss_and_metrics(potential, p, b, cfg)
+        return val
+
+    v = float(loss(params, pot))
+    v_f = float(loss(params, pot_f))
+    assert v == v_f or abs(v - v_f) < 1e-12
+    g = jax.grad(lambda p: loss(p, pot))(params)
+    g_f = jax.grad(lambda p: loss(p, pot_f))(params)
+    for a, c in zip(jax.tree.leaves(g), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-7, rtol=1e-5)

@@ -63,6 +63,11 @@ class M3GNetConfig:
     matmul_precision: str = "default"
     # Rematerialize the triplet message stage in backward (HBM for recompute).
     remat_triplets: bool = False
+    # Evaluate every GatedMLP as a never-splitting chain of doubled-width
+    # matmuls (block-diagonal later layers; models/layers.py). Same math and
+    # param tree (fp reassociation only); fills the 128-lane MXU tile at D = 64. Opt-in pending
+    # a quiet-window A/B (docs/benchmark.md).
+    fuse_gated_second: bool = False
     # Size-class bucket ladder: >1 pads batches per size class (one XLA
     # compilation per class) — big padding-efficiency win on mixed datasets.
     bucket_classes: int = 1

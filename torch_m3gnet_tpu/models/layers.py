@@ -52,16 +52,33 @@ class GatedMLP(nn.Module):
     (each output element is the same K-length dot product), same parameter
     tree, but a full-width (>=128-lane) MXU pass and a single read of the
     (E, 3D) input instead of two.
+
+    ``fuse_second=True`` (requires ``fuse_first``) extends the fusion to the
+    remaining layers: the twin stacks never split — each later layer is one
+    block-diagonal matmul ``h @ [[W_d, 0], [0, W_g]]`` on the doubled-width
+    activation, with a single SiLU over the full width between layers (both
+    halves use SiLU in non-final layers) and the dense/gate split only at the
+    end. At D = 64 the separate (., 64) @ (64, 64) twins each occupy half the
+    128-lane MXU tile; the (., 128) @ (128, 2*dim) block pass runs at full
+    width in the same tile budget. The zero blocks contribute exact +0.0,
+    so the math is identical; outputs differ from the unfused stacks only by
+    floating-point reassociation of the wider contraction (~1 ulp). The
+    parameter tree is unchanged.
     """
 
     dimensions: Sequence[int]
     is_output: bool = False
     use_bias: bool = True
     fuse_first: bool = True
+    fuse_second: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n = len(self.dimensions)
+        if self.fuse_second:
+            if not self.fuse_first:
+                raise ValueError("fuse_second requires fuse_first")
+            return self._fused_all(x)
         start = 0
         if self.fuse_first:
             dim = self.dimensions[0]
@@ -93,6 +110,40 @@ class GatedMLP(nn.Module):
             g = nn.Dense(dim, use_bias=self.use_bias, name=f"gate_{i}")(g)
             g = nn.sigmoid(g) if i == n - 1 else nn.silu(g)
         return d * g
+
+    def _fused_all(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = len(self.dimensions)
+        in_dims = [x.shape[-1]] + list(self.dimensions[:-1])
+        h = x
+        for i, dim in enumerate(self.dimensions):
+            kd, bd = _DenseParams(
+                in_dims[i], dim, self.use_bias, name=f"dense_{i}"
+            )()
+            kg, bg = _DenseParams(
+                in_dims[i], dim, self.use_bias, name=f"gate_{i}"
+            )()
+            dtype = jnp.promote_types(h.dtype, kd.dtype)
+            if i == 0:
+                k = jnp.concatenate([kd, kg], axis=1)  # (in, 2*dim)
+            else:
+                z = jnp.zeros((in_dims[i], dim), kd.dtype)
+                k = jnp.concatenate(
+                    [
+                        jnp.concatenate([kd, z], axis=1),
+                        jnp.concatenate([z, kg], axis=1),
+                    ],
+                    axis=0,
+                )  # (2*in, 2*dim) block-diagonal
+            h = h.astype(dtype) @ k.astype(dtype)
+            if self.use_bias:
+                h = h + jnp.concatenate([bd, bg]).astype(dtype)
+            if i < n - 1:
+                h = nn.silu(h)  # both halves are SiLU in non-final layers
+        dim = self.dimensions[-1]
+        d, g = h[..., :dim], h[..., dim:]
+        if not self.is_output:
+            d = nn.silu(d)
+        return d * nn.sigmoid(g)
 
 
 class DenseFM(nn.Module):
@@ -148,10 +199,15 @@ class GatedMLPFM(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype | None = None
     fuse_first: bool = True
+    fuse_second: bool = False
 
     @nn.compact
     def __call__(self, x_fm: jnp.ndarray) -> jnp.ndarray:
         n = len(self.dimensions)
+        if self.fuse_second:
+            if not self.fuse_first:
+                raise ValueError("fuse_second requires fuse_first")
+            return self._fused_all(x_fm)
         start = 0
         if self.fuse_first:
             dim = self.dimensions[0]
@@ -184,3 +240,37 @@ class GatedMLPFM(nn.Module):
                         name=f"gate_{i}")(g)
             g = nn.sigmoid(g) if i == n - 1 else nn.silu(g)
         return d * g
+
+    def _fused_all(self, x_fm: jnp.ndarray) -> jnp.ndarray:
+        n = len(self.dimensions)
+        in_dims = [x_fm.shape[0]] + list(self.dimensions[:-1])
+        h = x_fm
+        for i, dim in enumerate(self.dimensions):
+            kd, bd = _DenseParams(
+                in_dims[i], dim, self.use_bias, name=f"dense_{i}"
+            )()
+            kg, bg = _DenseParams(
+                in_dims[i], dim, self.use_bias, name=f"gate_{i}"
+            )()
+            dtype = self.dtype or jnp.promote_types(h.dtype, kd.dtype)
+            if i == 0:
+                k = jnp.concatenate([kd, kg], axis=1)
+            else:
+                z = jnp.zeros((in_dims[i], dim), kd.dtype)
+                k = jnp.concatenate(
+                    [
+                        jnp.concatenate([kd, z], axis=1),
+                        jnp.concatenate([z, kg], axis=1),
+                    ],
+                    axis=0,
+                )
+            h = jnp.einsum("io,im->om", k.astype(dtype), h.astype(dtype))
+            if self.use_bias:
+                h = h + jnp.concatenate([bd, bg]).astype(dtype)[:, None]
+            if i < n - 1:
+                h = nn.silu(h)
+        dim = self.dimensions[-1]
+        d, g = h[:dim], h[dim:]
+        if not self.is_output:
+            d = nn.silu(d)
+        return d * nn.sigmoid(g)

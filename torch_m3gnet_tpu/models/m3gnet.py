@@ -181,6 +181,12 @@ class M3GNet(nn.Module):
     # matmul (bit-identical, same params; full-width MXU pass + single read
     # of the concat input). Off only for A/B measurement.
     fuse_gated_mlp: bool = True
+    # Extend the fusion to every GatedMLP layer: later twin matmuls run as
+    # one block-diagonal doubled-width pass and the twin stacks never split
+    # until the output (models/layers.py GatedMLP.fuse_second). Same math and
+    # param tree (fp reassociation only); full-width MXU tiles at D = 64. Opt-in pending a
+    # quiet-window A/B on the shared chip (docs/benchmark.md).
+    fuse_gated_second: bool = False
     # Optional chi-normalization override: flattened (l_max * n_max) floats
     # replacing ops/basis.chi_norm_constants. Used by the parity harness to
     # reproduce the torch reference's LITERAL (buggy, ~1e-12) normalization —
@@ -422,18 +428,18 @@ class M3GNet(nn.Module):
                     nn.Dense(ln, name=f"three_gate_{b}")(v)
                 )  # (N, l*n)
                 agg = triplet_aggregate(basis_for_blocks, gate)
-                e = e + GatedMLP([d], use_bias=False, fuse_first=self.fuse_gated_mlp, name=f"three_mlp_{b}")(agg)
+                e = e + GatedMLP([d], use_bias=False, fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name=f"three_mlp_{b}")(agg)
 
             # M3GNetConv (conv.py:12-97)
             vi = _gather(v, graph.edge_src)
             vj = gather_nodes(v, graph.edge_dst)
             concat = jnp.concatenate([vi, vj, e], axis=-1)  # (E, 3D)
-            e = e + GatedMLP([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_edge_{b}")(concat) * nn.Dense(
+            e = e + GatedMLP([d, d], fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name=f"conv_edge_{b}")(concat) * nn.Dense(
                 d, use_bias=False, name=f"conv_edge_w_{b}"
             )(edge_weights)
 
             concat = jnp.concatenate([vi, vj, e], axis=-1)
-            node_msg = GatedMLP([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_node_{b}")(concat) * nn.Dense(
+            node_msg = GatedMLP([d, d], fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name=f"conv_node_{b}")(concat) * nn.Dense(
                 d, use_bias=False, name=f"conv_node_w_{b}"
             )(edge_weights)
             node_msg = node_msg * edge_mask[:, None]
@@ -446,7 +452,7 @@ class M3GNet(nn.Module):
 
         # --- readout (readout.py:12-58): accumulate energies in the geometry
         # dtype even under bf16 compute.
-        atomic = GatedMLP([d, d, 1], is_output=True, fuse_first=self.fuse_gated_mlp, name="readout")(v)[:, 0]
+        atomic = GatedMLP([d, d, 1], is_output=True, fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name="readout")(v)[:, 0]
         atomic = atomic.astype(dtype)  # (N,)
         elem = jnp.asarray(
             np.asarray(self.elemental_energies, dtype=np.float64)
@@ -562,19 +568,19 @@ class M3GNet(nn.Module):
                     DenseFM(ln, name=f"three_gate_{b}")(v_fm)
                 )  # (ln, N)
                 agg_fm = triplet_aggregate(gate_fm)
-                e_fm = e_fm + GatedMLPFM([d], use_bias=False, fuse_first=self.fuse_gated_mlp, name=f"three_mlp_{b}")(
+                e_fm = e_fm + GatedMLPFM([d], use_bias=False, fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name=f"three_mlp_{b}")(
                     agg_fm
                 )
 
             vi = take_fm(v_fm, graph.edge_src)
             vj = take_fm(v_fm, graph.edge_dst)
             concat = jnp.concatenate([vi, vj, e_fm], axis=0)  # (3D, E)
-            e_fm = e_fm + GatedMLPFM([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_edge_{b}")(
+            e_fm = e_fm + GatedMLPFM([d, d], fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name=f"conv_edge_{b}")(
                 concat
             ) * DenseFM(d, use_bias=False, name=f"conv_edge_w_{b}")(ew_fm)
 
             concat = jnp.concatenate([vi, vj, e_fm], axis=0)
-            node_msg = GatedMLPFM([d, d], fuse_first=self.fuse_gated_mlp, name=f"conv_node_{b}")(
+            node_msg = GatedMLPFM([d, d], fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name=f"conv_node_{b}")(
                 concat
             ) * DenseFM(d, use_bias=False, name=f"conv_node_w_{b}")(ew_fm)
             node_msg = node_msg * edge_mask[None, :]
@@ -583,7 +589,7 @@ class M3GNet(nn.Module):
             )
 
         # --- readout ------------------------------------------------------
-        atomic = GatedMLPFM([d, d, 1], is_output=True, fuse_first=self.fuse_gated_mlp, name="readout")(v_fm)[0]
+        atomic = GatedMLPFM([d, d, 1], is_output=True, fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name="readout")(v_fm)[0]
         atomic = atomic.astype(dtype)  # (N,)
         elem = jnp.asarray(
             np.asarray(self.elemental_energies, dtype=np.float64)
@@ -822,6 +828,7 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         fused_triplets=fused == "on",
         factorized_triplets=mode == "factorized",
         layout=layout,
+        fuse_gated_second=getattr(config, "fuse_gated_second", False),
         chi_norm=(
             tuple(np.asarray(chi_norm_override, dtype=np.float64).ravel().tolist())
             if chi_norm_override is not None
