@@ -37,7 +37,7 @@ def main(n_graphs: int = 32, windows: int = 40) -> None:
     )
 
     variants = {
-        "base": M3GNetConfig(),
+        "base": M3GNetConfig(fuse_gated_second=False),
         "fuse2": M3GNetConfig(fuse_gated_second=True),
         "fuse2_fm": M3GNetConfig(
             fuse_gated_second=True, threebody_mode="factorized", layout="fm"

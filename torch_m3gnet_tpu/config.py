@@ -65,9 +65,10 @@ class M3GNetConfig:
     remat_triplets: bool = False
     # Evaluate every GatedMLP as a never-splitting chain of doubled-width
     # matmuls (block-diagonal later layers; models/layers.py). Same math and
-    # param tree (fp reassociation only); fills the 128-lane MXU tile at D = 64. Opt-in pending
-    # a quiet-window A/B (docs/benchmark.md).
-    fuse_gated_second: bool = False
+    # param tree (fp reassociation only); fills the 128-lane MXU tile at
+    # D = 64. Default ON: paired A/B measured 0.79x step-time ratio vs the
+    # split stacks at the 32-graph bench point (docs/benchmark.md round 4).
+    fuse_gated_second: bool = True
     # Size-class bucket ladder: >1 pads batches per size class (one XLA
     # compilation per class) — big padding-efficiency win on mixed datasets.
     bucket_classes: int = 1
