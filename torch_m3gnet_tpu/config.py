@@ -94,10 +94,11 @@ class M3GNetConfig:
     # Activation layout: "em" entity-major (entities, features) — the parity
     # layout; "fm" feature-major (features, entities) — avoids TPU lane
     # padding (2x HBM at D=64, 4.7x at l^2*n, 42x for xyz rows) by keeping
-    # the huge entity axis on the 128 lanes. "auto" currently resolves to em
-    # everywhere (fm measures within contention noise of em on v5e; opt in
-    # with layout="fm" — requires threebody_mode="factorized"). Parameter
-    # trees are layout-independent.
+    # the huge entity axis on the 128 lanes. "auto" resolves to fm on TPU
+    # when the three-body stage is factorized (measured 0.84-0.93x of em with
+    # fuse_gated_second, docs/benchmark.md round 4) and em elsewhere
+    # ("fm" requires threebody_mode="factorized"; graph parallelism re-clones
+    # to em internally). Parameter trees are layout-independent.
     layout: str = "auto"
 
     def replace(self, **kwargs: Any) -> "M3GNetConfig":

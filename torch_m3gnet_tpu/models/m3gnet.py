@@ -806,10 +806,12 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
     fused = "on" if mode == "fused" else "off"
     layout = getattr(config, "layout", "auto")
     if layout == "auto":
-        # fm measures within ~10% of em on v5e (the A/B is contention-noise
-        # limited; see docs/benchmark.md round-3 notes) — em stays the default
-        # until fm shows a reproducible win at the bench operating point.
-        layout = "em"
+        # fm + fuse_gated_second measured 0.72-0.84x paired step ratio vs the
+        # round-3 default across two independent epochs (docs/benchmark.md
+        # round 4) — the first reproducible fm win, so auto now resolves to
+        # fm exactly where it is supported and fastest: TPU + factorized
+        # three-body. Elsewhere (CPU tests, gather/fused modes) em remains.
+        layout = "fm" if (platform == "tpu" and mode == "factorized") else "em"
     if layout == "fm" and mode != "factorized":
         raise ValueError("layout='fm' requires threebody_mode='factorized'")
     model = M3GNet(

@@ -505,7 +505,11 @@ class GraphParallelPotential:
     """E/F/S for one partitioned graph over a ``gp`` mesh axis."""
 
     def __init__(self, model: M3GNet, mesh: Mesh, axis: str = "gp"):
-        self.model = model.clone(halo_axis=axis)
+        # gp runs entity-major: the halo exchange addresses node ROWS. A model
+        # built with layout="fm" (the TPU single-chip default since round 4)
+        # is re-cloned to em here — parameter trees are layout-identical, so
+        # this changes execution layout only.
+        self.model = model.clone(halo_axis=axis, layout="em")
         self.mesh = mesh
         self.axis = axis
         self._japply = jax.jit(self._make())
