@@ -57,9 +57,14 @@ def main(n_graphs: int = 32) -> None:
 
             @jax.jit
             def step(params, batch):
-                from torch_m3gnet_tpu.models.m3gnet import edge_vectors
+                from torch_m3gnet_tpu.models.m3gnet import (
+                    edge_vectors,
+                    edge_vectors_fm,
+                )
 
-                rv = edge_vectors(batch, jnp_pos(batch))
+                # match the model's layout (fm is the TPU default since r4)
+                ev = edge_vectors_fm if model.layout == "fm" else edge_vectors
+                rv = ev(batch, jnp_pos(batch))
                 total, _ = model.apply(params, batch, rv)
                 return total
 

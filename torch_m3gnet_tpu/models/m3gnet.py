@@ -181,6 +181,11 @@ class M3GNet(nn.Module):
     # matmul (bit-identical, same params; full-width MXU pass + single read
     # of the concat input). Off only for A/B measurement.
     fuse_gated_mlp: bool = True
+    # Fused Pallas kernels for the factorized three-body stage in the fm
+    # layout (ops/pallas_factorized_stage.py): the (MN, E) expanded product /
+    # gather intermediates never touch HBM. Requires layout="fm"; falls back
+    # to the XLA path when the resident accumulator would not fit VMEM.
+    fused_factorized_stage: bool = False
     # Extend the fusion to every GatedMLP layer: later twin matmuls run as
     # one block-diagonal doubled-width pass and the twin stacks never split
     # until the output (models/layers.py GatedMLP.fuse_second). Same math and
@@ -204,7 +209,17 @@ class M3GNet(nn.Module):
                 raise ValueError(
                     "layout='fm' requires factorized_triplets and no halo_axis"
                 )
+            if r_vec.shape[0] != 3:
+                raise ValueError(
+                    "layout='fm' consumes FEATURE-MAJOR (3, E) edge vectors "
+                    f"(got {r_vec.shape}); build them with edge_vectors_fm"
+                )
             return self._forward_fm(graph, r_vec)
+        if r_vec.shape[-1] != 3:
+            raise ValueError(
+                "layout='em' consumes (E, 3) edge vectors "
+                f"(got {r_vec.shape}); build them with edge_vectors"
+            )
         return self._forward_em(graph, r_vec)
 
     def _forward_em(
@@ -531,30 +546,67 @@ class M3GNet(nn.Module):
         chifc_fm = chifc_fm.astype(cdtype0)
         fcn_fm = (fc_e[None, None, :] * sph_norm[:, None, None]).astype(cdtype0)
 
-        def triplet_aggregate(gate_fm):
-            gate_e = take_fm(gate_fm, graph.edge_dst)  # (ln, E)
-            gate_e = gate_e.reshape(self.l_max, self.n_max, -1).astype(cdtype0)
-            g = chifc_fm * gate_e  # (l, n, E)
-            w = sh_fm[:, None, :] * g[l_idx]  # (M, n, E)
-            per_node = segment_sum_fm(
-                w.reshape(m_sz * self.n_max, -1),
-                graph.edge_src,
-                graph.num_nodes,
-                True,  # edges are sorted by source node
-            )  # (M*n, N)
-            a_e = take_fm(per_node, graph.edge_src).reshape(
-                m_sz, self.n_max, -1
+        # Fused-kernel path: the (MN, E) expanded product / gather
+        # intermediates stay in VMEM (ops/pallas_factorized_stage.py); used
+        # when enabled AND the resident accumulator fits the VMEM budget.
+        use_fused_stage = False
+        if self.fused_factorized_stage:
+            from torch_m3gnet_tpu.ops.pallas_factorized_stage import (
+                VMEM_RESIDENT_BYTES,
+                _n_pad,
+                q_scatter,
+                r1_gather,
             )
-            prod = sh_fm[:, None, :] * a_e  # (M, n, E)
-            proj = jnp.stack(
-                [
-                    prod[(ends[ell - 1] if ell else 0) : ends[ell]].sum(axis=0)
-                    for ell in range(self.l_max)
-                ],
-                axis=0,
-            )  # (l, n, E)
-            agg = fcn_fm * (proj - g)
-            return agg.reshape(ln, -1)
+
+            mnp = -(-(m_sz * self.n_max) // 8) * 8
+            use_fused_stage = (
+                mnp * _n_pad(graph.num_nodes) * 4 <= VMEM_RESIDENT_BYTES
+            )
+
+        if use_fused_stage:
+            chifc_flat = chifc_fm.reshape(ln, -1)
+            # fcn_fm is broadcastable (l, 1, E); expand to (l, n, E) rows
+            fcn_flat = jnp.broadcast_to(
+                fcn_fm, (self.l_max, self.n_max, fcn_fm.shape[-1])
+            ).reshape(ln, -1)
+            src = jnp.asarray(graph.edge_src)
+
+            def triplet_aggregate(gate_fm):
+                gate_e = take_fm(gate_fm, graph.edge_dst)  # (ln, E)
+                g = chifc_flat * gate_e.astype(cdtype0)  # (ln, E)
+                a = q_scatter(
+                    sh_fm, g, src, graph.num_nodes, self.l_max, self.n_max
+                )
+                proj = r1_gather(
+                    a, sh_fm, src, graph.num_edges, self.l_max, self.n_max
+                )
+                return (fcn_flat * (proj.astype(cdtype0) - g)).reshape(ln, -1)
+
+        else:
+            def triplet_aggregate(gate_fm):
+                gate_e = take_fm(gate_fm, graph.edge_dst)  # (ln, E)
+                gate_e = gate_e.reshape(self.l_max, self.n_max, -1).astype(cdtype0)
+                g = chifc_fm * gate_e  # (l, n, E)
+                w = sh_fm[:, None, :] * g[l_idx]  # (M, n, E)
+                per_node = segment_sum_fm(
+                    w.reshape(m_sz * self.n_max, -1),
+                    graph.edge_src,
+                    graph.num_nodes,
+                    True,  # edges are sorted by source node
+                )  # (M*n, N)
+                a_e = take_fm(per_node, graph.edge_src).reshape(
+                    m_sz, self.n_max, -1
+                )
+                prod = sh_fm[:, None, :] * a_e  # (M, n, E)
+                proj = jnp.stack(
+                    [
+                        prod[(ends[ell - 1] if ell else 0) : ends[ell]].sum(axis=0)
+                        for ell in range(self.l_max)
+                    ],
+                    axis=0,
+                )  # (l, n, E)
+                agg = fcn_fm * (proj - g)
+                return agg.reshape(ln, -1)
 
         if self.remat_triplets:
             triplet_aggregate = jax.checkpoint(triplet_aggregate)
@@ -814,6 +866,9 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         layout = "fm" if (platform == "tpu" and mode == "factorized") else "em"
     if layout == "fm" and mode != "factorized":
         raise ValueError("layout='fm' requires threebody_mode='factorized'")
+    fused_stage = getattr(config, "fused_factorized", "off") == "on"
+    if fused_stage and layout != "fm":
+        raise ValueError("fused_factorized='on' requires the fm layout")
     model = M3GNet(
         cutoff=config.cutoff,
         threebody_cutoff=config.threebody_cutoff,
@@ -830,6 +885,7 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         fused_triplets=fused == "on",
         factorized_triplets=mode == "factorized",
         layout=layout,
+        fused_factorized_stage=fused_stage,
         fuse_gated_second=getattr(config, "fuse_gated_second", False),
         chi_norm=(
             tuple(np.asarray(chi_norm_override, dtype=np.float64).ravel().tolist())
