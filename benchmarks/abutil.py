@@ -7,6 +7,14 @@ contention state is shared across a ~10 ms window pair), computes the
 per-window time ratio, and reports the median ratio plus each candidate's
 best absolute time. Ratios are stable to a few percent where absolute
 numbers are not.
+
+ORDER BIAS (measured 2026-08-21 with an identical-program control): under
+heavy contention the position WITHIN a window carries its own bias — the
+second burst can read anywhere from ~0.6x to ~1.0x of the first, from
+idle-credit dynamics. The round-robin order is therefore REVERSED on every
+other window, so position bias cancels in the median ratio; single-order
+ratios from before this change should be read with +-10% suspicion (or
+verified with both orders, as in docs/benchmark.md round-4 notes).
 """
 
 from __future__ import annotations
@@ -28,9 +36,10 @@ def paired_compare(fns: dict, windows: int = 12, iters: int = 20,
         jax.block_until_ready(fn(*args))
 
     times = {n: [] for n in names}
-    for _ in range(windows):
+    for w in range(windows):
         time.sleep(idle_s)
-        for n in names:
+        order = names if w % 2 == 0 else list(reversed(names))
+        for n in order:
             fn, args = fns[n]
             t0 = time.perf_counter()
             for _ in range(iters):
