@@ -1,0 +1,143 @@
+"""Autodiff second-order observables (simulate/elastic.py): elastic tensor
+vs finite differences of the energy, phonon acoustic sum rule, mass scaling.
+
+NOTE the FD cross-check differentiates the ENERGY twice, not the model's
+Cauchy stress once: d sigma_i / d eps_j differs from (1/V) d^2E/deps_i deps_j
+by residual-stress geometric terms (the random-weight fixture is not at a
+stress-free configuration), so only the energy Hessian is the like-for-like
+comparison."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from torch_m3gnet_tpu.config import M3GNetConfig
+from torch_m3gnet_tpu.data.graph import pack_structures
+from torch_m3gnet_tpu.data.structure import Structure
+from torch_m3gnet_tpu.models import build_model
+from torch_m3gnet_tpu.simulate import (
+    bulk_modulus_voigt,
+    elastic_tensor,
+    force_constants,
+    gamma_phonons,
+)
+
+CFG = M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from torch_m3gnet_tpu.data.graph import cast_batch
+
+    rng = np.random.default_rng(0)
+    s = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        np.array([[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]])
+        + rng.normal(0, 0.01, (4, 3)),
+        [29] * 4,
+    )
+    b = cast_batch(
+        pack_structures([s], 5.0, 4.0, pad_multiple=64), np.float64
+    )
+    pot = build_model(CFG, matmul_precision="highest")
+    params = pot.init(jax.random.PRNGKey(0), b)
+    return pot, params, b
+
+
+def test_elastic_tensor_matches_energy_fd(setup):
+    """C_ij (autodiff hessian) == central second differences of the SAME
+    energy function at f64."""
+    pot, params, b = setup
+    c = elastic_tensor(pot, params, b, gpa=False)  # eV/A^3
+    assert c.shape == (6, 6)
+    np.testing.assert_allclose(c, c.T, atol=1e-9)
+
+    from torch_m3gnet_tpu.simulate.elastic import voigt_strain_matrix
+
+    pos0 = np.asarray(b.positions, dtype=np.float64)
+    lat0 = np.asarray(b.lattice, dtype=np.float64)
+    vol = abs(np.linalg.det(lat0[0]))
+
+    def e_at(e6):
+        deform = np.eye(3) + np.asarray(voigt_strain_matrix(jax.numpy.asarray(e6)))
+        bb = b.replace(positions=pos0 @ deform, lattice=lat0 @ deform)
+        return float(np.asarray(pot.apply(params, bb).energy)[0])
+
+    eps = 1e-3
+    fd = np.zeros((6, 6))
+    for i in range(6):
+        for j in range(i, 6):
+            ei, ej = np.zeros(6), np.zeros(6)
+            ei[i] = eps
+            ej[j] = eps
+            val = (
+                e_at(ei + ej) - e_at(ei - ej) - e_at(ej - ei) + e_at(-ei - ej)
+            ) / (4 * eps * eps * vol)
+            fd[i, j] = fd[j, i] = val
+    np.testing.assert_allclose(c, fd, atol=5e-5)
+
+    k = bulk_modulus_voigt(elastic_tensor(pot, params, b, gpa=True))
+    assert np.isfinite(k)
+
+
+def test_force_constants_acoustic_sum_rule(setup):
+    """Uniform translation costs nothing under PBC, so rows of the
+    force-constant matrix sum to zero and Gamma has 3 exact zero modes."""
+    pot, params, b = setup
+    phi = force_constants(pot, params, b)
+    n = phi.shape[0]
+    rowsum = phi.sum(axis=2)  # (N, 3, 3): sum over the displaced atom j
+    assert np.abs(rowsum).max() < 1e-5
+
+    out = gamma_phonons(pot, params, b, masses_amu=[63.55] * n)
+    freqs = np.sort(np.abs(out["frequencies_thz"]))
+    assert freqs[:3].max() < 5e-2  # three acoustic modes at ~0 THz
+    assert out["modes"].shape == (3 * n, n, 3)
+
+
+def test_gamma_phonons_mass_scaling(setup):
+    """omega ~ 1/sqrt(m): doubling every mass scales all frequencies by
+    1/sqrt(2) exactly (same force constants)."""
+    pot, params, b = setup
+    n = int(b.n_node[0])
+    f1 = gamma_phonons(pot, params, b, [63.55] * n)["frequencies_thz"]
+    f2 = gamma_phonons(pot, params, b, [127.10] * n)["frequencies_thz"]
+    np.testing.assert_allclose(f2, f1 / np.sqrt(2.0), atol=1e-8)
+
+
+def test_cubic_crystal_symmetry():
+    """On an UNPERTURBED cubic fcc cell the elastic matrix must have cubic
+    symmetry: C11=C22=C33, C12=C13=C23, C44=C55=C66, no shear coupling.
+
+    Regression guard for the voigt_strain_matrix asymmetry found in round 4
+    (the [2][1] entry applied e4 instead of e4/2 — a spurious rotation that
+    broke exactly this invariant while agreeing with its own FD)."""
+    s = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    )
+    b = pack_structures([s], 5.0, 4.0, pad_multiple=64)
+    from torch_m3gnet_tpu.data.graph import cast_batch
+
+    b = cast_batch(b, np.float64)
+    pot = build_model(CFG, matmul_precision="highest")
+    params = pot.init(jax.random.PRNGKey(1), b)
+    c = elastic_tensor(pot, params, b, gpa=True)
+    np.testing.assert_allclose(c[0, 0], c[1, 1], rtol=1e-8)
+    np.testing.assert_allclose(c[1, 1], c[2, 2], rtol=1e-8)
+    np.testing.assert_allclose(c[0, 1], c[0, 2], rtol=1e-8)
+    np.testing.assert_allclose(c[3, 3], c[4, 4], rtol=1e-8)
+    np.testing.assert_allclose(c[4, 4], c[5, 5], rtol=1e-8)
+    np.testing.assert_allclose(c[:3, 3:], 0.0, atol=1e-6)
+
+
+def test_elastic_rejects_multi_graph(setup):
+    pot, params, _ = setup
+    s = Structure.from_frac_coords(np.eye(3) * 4.0, [[0, 0, 0]], [29])
+    b2 = pack_structures([s, s], 5.0, 4.0, pad_multiple=64)
+    with pytest.raises(ValueError):
+        elastic_tensor(pot, params, b2)

@@ -1,3 +1,9 @@
+from torch_m3gnet_tpu.simulate.elastic import (
+    bulk_modulus_voigt,
+    elastic_tensor,
+    force_constants,
+    gamma_phonons,
+)
 from torch_m3gnet_tpu.simulate.md import MDConfig, MDResult, run_md
 from torch_m3gnet_tpu.simulate.observables import (
     diffusion_coefficient,
@@ -18,4 +24,8 @@ __all__ = [
     "mean_squared_displacement",
     "diffusion_coefficient",
     "write_extxyz",
+    "elastic_tensor",
+    "bulk_modulus_voigt",
+    "force_constants",
+    "gamma_phonons",
 ]

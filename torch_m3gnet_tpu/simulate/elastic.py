@@ -1,0 +1,142 @@
+"""Second-order observables by exact automatic differentiation.
+
+Downstream capabilities beyond the reference's scope (it only ever shells
+out to the TF m3gnet for relaxation, /root/reference/scripts/relax_org.py):
+elastic constants and Gamma-point phonons computed as EXACT second
+derivatives of the jitted potential — `jax.hessian` composes forward-over-
+reverse through the whole model (including the gather/segment custom VJPs
+and the factorized three-body stage), so there is no finite-difference
+step-size tuning and no supercell displacement bookkeeping.
+
+Conventions:
+- strain: lattice and positions deform affinely, x -> x @ (1 + eps), with
+  Voigt engineering shears (eps_4..6 are 2*eps_yz etc.), so the returned
+  C_ij = (1/V) d^2E / d eps_i d eps_j is the standard elastic matrix;
+- clamped-ion: internal coordinates are NOT re-relaxed under strain (the
+  pure second derivative). For relaxed-ion constants relax at each strain
+  with simulate/relax.py and finite-difference the relaxed energies;
+- phonons: the dynamical matrix is the position Hessian of the PBC energy
+  mass-weighted in place; its PBC construction satisfies the acoustic sum
+  rule by construction (uniform translations cost nothing), so Gamma has
+  three exact zero modes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+EV_PER_A3_TO_GPA = 160.21766208
+
+# sqrt(eV / (amu * A^2)) -> THz (nu = omega / 2pi)
+_SQRT_EV_AMU_A2_TO_THZ = 15.633302
+
+
+def _energy_fn(potential, params, batch):
+    """Differentiable total energy as a function of (positions, lattice)."""
+    from torch_m3gnet_tpu.models.m3gnet import edge_vectors, edge_vectors_fm
+
+    model = potential.model
+    ev = edge_vectors_fm if model.layout == "fm" else edge_vectors
+
+    def energy(positions, lattice):
+        g = batch.replace(positions=positions, lattice=lattice)
+        rv = ev(g, positions, lattice)
+        total, _ = model.apply(params, g, rv)
+        return jnp.sum(total)
+
+    return energy
+
+
+def voigt_strain_matrix(eps6: jnp.ndarray) -> jnp.ndarray:
+    """(6,) engineering Voigt strain -> symmetric (3, 3) strain matrix."""
+    e = eps6
+    return jnp.array(
+        [
+            [e[0], e[5] / 2, e[4] / 2],
+            [e[5] / 2, e[1], e[3] / 2],
+            [e[4] / 2, e[3] / 2, e[2]],
+        ]
+    )
+
+
+def elastic_tensor(potential, params, batch, gpa: bool = True) -> np.ndarray:
+    """Clamped-ion elastic matrix C (6, 6) of a SINGLE-graph batch.
+
+    C_ij = (1/V) d^2 E / (d eps_i d eps_j) at zero strain, exact autodiff
+    (forward-over-reverse). Returns GPa by default, eV/A^3 otherwise.
+    """
+    if batch.num_graphs_real != 1:
+        raise ValueError("elastic_tensor expects a single-graph batch")
+    energy = _energy_fn(potential, params, batch)
+    pos0 = jnp.asarray(batch.positions)
+    lat0 = jnp.asarray(batch.lattice)
+
+    def e_of_eps(eps6):
+        deform = jnp.eye(3, dtype=pos0.dtype) + voigt_strain_matrix(eps6).astype(
+            pos0.dtype
+        )
+        return energy(pos0 @ deform, lat0 @ deform)
+
+    hess = jax.hessian(e_of_eps)(jnp.zeros(6, dtype=pos0.dtype))
+    vol = float(
+        np.abs(np.linalg.det(np.asarray(batch.lattice, dtype=np.float64)[0]))
+    )
+    c = np.asarray(hess, dtype=np.float64) / vol
+    c = 0.5 * (c + c.T)
+    return c * EV_PER_A3_TO_GPA if gpa else c
+
+
+def bulk_modulus_voigt(c_gpa: np.ndarray) -> float:
+    """Voigt-average bulk modulus from the elastic matrix (GPa in, GPa out)."""
+    c = np.asarray(c_gpa)
+    return float(
+        (c[0, 0] + c[1, 1] + c[2, 2] + 2 * (c[0, 1] + c[0, 2] + c[1, 2])) / 9.0
+    )
+
+
+def force_constants(potential, params, batch) -> np.ndarray:
+    """(N, 3, N, 3) PBC force-constant matrix d^2E/du_i du_j, exact autodiff.
+
+    Folded over periodic images by construction (the PBC energy already sums
+    them), i.e. the supercell-Gamma force constants of the given cell.
+    """
+    if batch.num_graphs_real != 1:
+        raise ValueError("force_constants expects a single-graph batch")
+    energy = _energy_fn(potential, params, batch)
+    pos0 = jnp.asarray(batch.positions)
+    lat0 = jnp.asarray(batch.lattice)
+    n = int(batch.n_node[0])
+
+    hess = jax.hessian(lambda p: energy(p, lat0))(pos0)
+    return np.asarray(hess, dtype=np.float64)[:n, :, :n, :]
+
+
+def gamma_phonons(potential, params, batch, masses_amu) -> dict:
+    """Gamma-point phonon frequencies (THz) and eigenvectors of one cell.
+
+    Returns {"frequencies_thz": (3N,) sorted (negative = imaginary, i.e.
+    sqrt of a negative dynamical-matrix eigenvalue), "modes": (3N, N, 3),
+    "force_constants": (N, 3, N, 3)}.
+    """
+    n = int(batch.n_node[0])
+    masses = np.asarray(masses_amu, dtype=np.float64).reshape(n)
+    phi = force_constants(potential, params, batch)  # eV / A^2
+
+    inv_sqrt_m = 1.0 / np.sqrt(masses)
+    dyn = (
+        phi
+        * inv_sqrt_m[:, None, None, None]
+        * inv_sqrt_m[None, None, :, None]
+    ).reshape(3 * n, 3 * n)
+    dyn = 0.5 * (dyn + dyn.T)
+    evals, evecs = np.linalg.eigh(dyn)  # eV / (amu A^2)
+    freqs = np.sign(evals) * np.sqrt(np.abs(evals)) * _SQRT_EV_AMU_A2_TO_THZ
+    modes = evecs.T.reshape(3 * n, n, 3) * inv_sqrt_m[None, :, None]
+    return {
+        "frequencies_thz": freqs,
+        "modes": modes,
+        "force_constants": phi,
+    }
