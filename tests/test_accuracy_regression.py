@@ -18,6 +18,7 @@ gather mis-pairs the shear targets and the stress MAE blows past its bound.
 import os
 
 import numpy as np
+import pytest
 
 import jax  # noqa: F401  (conftest pins devices)
 
@@ -34,6 +35,7 @@ FIXTURE = os.path.join(
 BOUNDS = {"energy_mae": 5e-4, "forces_mae": 2e-3, "stresses_mae": 1e-3}
 
 
+@pytest.mark.slow
 def test_synthetic_mlearn_accuracy(tmp_path):
     cfg = M3GNetConfig(
         l_max=2, n_max=3, embedding_dim=16, num_blocks=2,

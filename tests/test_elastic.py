@@ -47,6 +47,7 @@ def setup():
     return pot, params, b
 
 
+@pytest.mark.slow
 def test_elastic_tensor_matches_energy_fd(setup):
     """C_ij (autodiff hessian) == central second differences of the SAME
     energy function at f64."""
@@ -108,6 +109,7 @@ def test_gamma_phonons_mass_scaling(setup):
     np.testing.assert_allclose(f2, f1 / np.sqrt(2.0), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_cubic_crystal_symmetry():
     """On an UNPERTURBED cubic fcc cell the elastic matrix must have cubic
     symmetry: C11=C22=C33, C12=C13=C23, C44=C55=C66, no shear coupling.

@@ -90,6 +90,7 @@ def test_stage_and_gradients_match_xla():
         )
 
 
+@pytest.mark.slow
 def test_grad_of_grad_closure():
     """Second derivatives flow through the kernel family (force-loss training
     differentiates through the force computation)."""
@@ -118,6 +119,7 @@ def test_grad_of_grad_closure():
     )
 
 
+@pytest.mark.slow
 def test_full_model_with_fused_stage_matches_xla(al_fcc, na_bcc):
     """E/F/S of the fm model with fused_factorized='on' equals the XLA fm
     path (same params) to f32 accumulation accuracy — including the force
@@ -148,6 +150,7 @@ def test_full_model_with_fused_stage_matches_xla(al_fcc, na_bcc):
     )
 
 
+@pytest.mark.slow
 def test_full_model_fused_stage_training_gradients(al_fcc, na_bcc):
     """Loss + parameter gradients (grad-of-grad through the kernels on the
     force path) match the XLA fm path."""
