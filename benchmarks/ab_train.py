@@ -54,13 +54,9 @@ def main(n_graphs: int = 32, windows: int = 40) -> None:
         pot = build_model(cfg)
         trainer = Trainer(pot, cfg, log_dir=tempfile.mkdtemp())
         state = trainer.init_state(jax.random.PRNGKey(0), train_batch)
-
-        def step(state, batch, trainer=trainer):
-            new_state, _ = trainer.train_step(state, batch, lr)
-            return new_state.params
-
-        fns[name] = (jax.jit(lambda s, b, t=trainer: t.train_step(s, b, lr)[0].params),
-                     (state, train_batch))
+        # time the Trainer's own jitted step directly (a second jit wrapper
+        # measured ~50x slower through the tunnel — dispatch pathology)
+        fns[name] = (trainer.train_step, (state, train_batch, lr))
         print(f"[ab] compiled {name}", file=sys.stderr, flush=True)
 
     results = paired_compare(fns, windows=windows, iters=6, idle_s=1.5,
