@@ -143,3 +143,54 @@ def test_elastic_rejects_multi_graph(setup):
     b2 = pack_structures([s, s], 5.0, 4.0, pad_multiple=64)
     with pytest.raises(ValueError):
         elastic_tensor(pot, params, b2)
+
+
+def test_eos_birch_murnaghan_roundtrip():
+    """The fit recovers known BM parameters from synthetic data exactly."""
+    from torch_m3gnet_tpu.simulate import birch_murnaghan, birch_murnaghan_fit
+
+    v = np.linspace(40, 60, 15)
+    true = dict(e0=-12.3, v0=48.7, b0=0.9, b0p=4.6)
+    e = birch_murnaghan(v, *true.values())
+    fit = birch_murnaghan_fit(v, e)
+    assert fit["e0_ev"] == pytest.approx(true["e0"], abs=1e-8)
+    assert fit["v0_a3"] == pytest.approx(true["v0"], rel=1e-8)
+    assert fit["b0_ev_a3"] == pytest.approx(true["b0"], rel=1e-7)
+    assert fit["b0_prime"] == pytest.approx(true["b0p"], rel=1e-6)
+    assert fit["rms_resid_ev"] < 1e-10
+
+
+@pytest.mark.slow
+def test_eos_curvature_consistent_with_elastic_tensor(setup):
+    """Physics cross-check between two independent second-derivative paths:
+    the curvature of the model's E(V) curve under isotropic strain equals
+    V * sum_{i,j<=3} C_ij from the strain Hessian at the same configuration
+    (d^2E/ds^2 for eps = (s,s,s,0,0,0); no equilibrium volume needed — the
+    random-weight fixture is unbound, which also pins the fit's
+    edge-minimum error path)."""
+    from torch_m3gnet_tpu.simulate import (
+        birch_murnaghan_fit,
+        energy_volume_curve,
+    )
+
+    pot, params, b = setup
+    s_step = 2e-3
+    vols, energies = energy_volume_curve(
+        pot, params, b, strains=np.array([-s_step, 0.0, s_step])
+    )
+    d2e_ds2 = (energies[0] - 2 * energies[1] + energies[2]) / s_step**2
+
+    c = elastic_tensor(pot, params, b, gpa=False)  # eV/A^3
+    lat0 = np.asarray(b.lattice, dtype=np.float64)[0]
+    vol = abs(np.linalg.det(lat0))
+    want = vol * c[:3, :3].sum()
+    assert d2e_ds2 == pytest.approx(want, rel=2e-3)
+
+    # unbound E(V): the fit must refuse an edge minimum rather than
+    # extrapolate nonsense
+    vols_w, e_w = energy_volume_curve(
+        pot, params, b, strains=np.linspace(-0.05, 0.05, 9)
+    )
+    if int(np.argmin(e_w)) in (0, len(e_w) - 1):
+        with pytest.raises(ValueError):
+            birch_murnaghan_fit(vols_w, e_w)

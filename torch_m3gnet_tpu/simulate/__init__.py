@@ -4,6 +4,11 @@ from torch_m3gnet_tpu.simulate.elastic import (
     force_constants,
     gamma_phonons,
 )
+from torch_m3gnet_tpu.simulate.eos import (
+    birch_murnaghan,
+    birch_murnaghan_fit,
+    energy_volume_curve,
+)
 from torch_m3gnet_tpu.simulate.md import MDConfig, MDResult, run_md
 from torch_m3gnet_tpu.simulate.observables import (
     diffusion_coefficient,
@@ -28,4 +33,7 @@ __all__ = [
     "bulk_modulus_voigt",
     "force_constants",
     "gamma_phonons",
+    "energy_volume_curve",
+    "birch_murnaghan",
+    "birch_murnaghan_fit",
 ]
