@@ -194,3 +194,45 @@ def test_eos_curvature_consistent_with_elastic_tensor(setup):
     if int(np.argmin(e_w)) in (0, len(e_w) - 1):
         with pytest.raises(ValueError):
             birch_murnaghan_fit(vols_w, e_w)
+
+
+@pytest.mark.slow
+def test_phonon_dispersion_supercell_exactness():
+    """Supercell-method invariants on a 1-atom cubic crystal with a 2x2x2
+    supercell: (a) k = 0 and every half-integer (supercell-commensurate) k
+    reproduce frequencies from the supercell's OWN Gamma spectrum (folding is
+    exact at commensurate k); (b) acoustic branches vanish at k -> 0."""
+    from torch_m3gnet_tpu.data.graph import cast_batch
+    from torch_m3gnet_tpu.simulate import gamma_phonons, phonon_dispersion
+
+    prim = Structure.from_frac_coords(np.eye(3) * 2.5, [[0, 0, 0]], [29])
+    cutoff, cutoff3 = 3.6, 2.6  # 1st (2.5) + 2nd (3.54) neighbor shells
+    pot = build_model(CFG, matmul_precision="highest")
+    sc = prim.supercell((2, 2, 2))
+    b_sc = cast_batch(pack_structures([sc], cutoff, cutoff3, pad_multiple=64), np.float64)
+    params = pot.init(jax.random.PRNGKey(2), b_sc)
+
+    mass = [63.55]
+    sc_gamma = gamma_phonons(pot, params, b_sc, [63.55] * 8)["frequencies_thz"]
+
+    ks = [
+        [0.0, 0.0, 0.0],
+        [0.5, 0.0, 0.0],
+        [0.5, 0.5, 0.0],
+        [0.5, 0.5, 0.5],
+    ]
+    out = phonon_dispersion(
+        pot, params, prim, (2, 2, 2), ks, mass, cutoff, cutoff3
+    )
+    freqs = out["frequencies_thz"]  # (4, 3)
+    # every commensurate-k frequency appears in the supercell Gamma spectrum
+    for row in freqs:
+        for f in row:
+            assert np.abs(sc_gamma - f).min() < 5e-3, (f, sc_gamma)
+    # acoustic limit: all three k=0 branches are ~0 for a 1-atom cell
+    assert np.abs(freqs[0]).max() < 5e-2
+    # k -> 0 continuity: tiny k gives tiny frequencies
+    small = phonon_dispersion(
+        pot, params, prim, (2, 2, 2), [[1e-3, 0, 0]], mass, cutoff, cutoff3
+    )["frequencies_thz"]
+    assert np.abs(small).max() < np.abs(freqs[1]).max()

@@ -3,6 +3,7 @@ from torch_m3gnet_tpu.simulate.elastic import (
     elastic_tensor,
     force_constants,
     gamma_phonons,
+    phonon_dispersion,
 )
 from torch_m3gnet_tpu.simulate.eos import (
     birch_murnaghan,
@@ -33,6 +34,7 @@ __all__ = [
     "bulk_modulus_voigt",
     "force_constants",
     "gamma_phonons",
+    "phonon_dispersion",
     "energy_volume_curve",
     "birch_murnaghan",
     "birch_murnaghan_fit",

@@ -114,6 +114,75 @@ def force_constants(potential, params, batch) -> np.ndarray:
     return np.asarray(hess, dtype=np.float64)[:n, :, :n, :]
 
 
+def phonon_dispersion(
+    potential,
+    params,
+    primitive,
+    reps,
+    k_frac,
+    masses_amu,
+    cutoff: float,
+    threebody_cutoff: float,
+    pad_multiple: int = 64,
+) -> dict:
+    """Phonon frequencies along a k-path by the supercell force-constant
+    method, with the force constants from ONE exact autodiff Hessian.
+
+    ``primitive`` is the unit cell; ``reps = (na, nb, nc)`` builds the
+    supercell whose PBC Hessian supplies the interatomic force constants.
+    ``k_frac`` is (nk, 3) in fractional coordinates of the PRIMITIVE
+    reciprocal lattice; ``masses_amu`` has one mass per primitive atom.
+
+    D(k)_{p a, p' b} = (m_p m_p')^{-1/2} sum_R Phi[(0,p)a, (R,p')b] e^{i k.R}
+
+    using the image-major supercell ordering (data/structure.py:84-95:
+    supercell atom s = m * n_prim + p with R_m in lexicographic order).
+    Frequencies are EXACT at k commensurate with the supercell (the PBC
+    Hessian folds longer-ranged contributions onto equivalent images —
+    standard supercell-method aliasing) and Fourier-interpolated elsewhere.
+
+    Returns {"frequencies_thz": (nk, 3*n_prim) ascending per k (negative =
+    imaginary), "force_constants": the supercell (N, 3, N, 3) array}.
+    """
+    from torch_m3gnet_tpu.data.graph import cast_batch, pack_structures
+
+    na, nb, nc = reps
+    n_prim = len(primitive)
+    masses = np.asarray(masses_amu, dtype=np.float64).reshape(n_prim)
+    sc = primitive.supercell(reps)
+    batch = cast_batch(
+        pack_structures([sc], cutoff, threebody_cutoff, pad_multiple=pad_multiple),
+        np.float64,
+    )
+    phi = force_constants(potential, params, batch)  # (N, 3, N, 3)
+
+    images = np.array(
+        [[i, j, k] for i in range(na) for j in range(nb) for k in range(nc)],
+        dtype=np.float64,
+    )  # matches Structure.supercell ordering
+    n_img = len(images)
+    # Phi blocks between home-cell atom p and image-m atom p'
+    blocks = phi[:n_prim].reshape(n_prim, 3, n_img, n_prim, 3)
+
+    inv_sqrt_m = 1.0 / np.sqrt(masses)
+    k_frac = np.atleast_2d(np.asarray(k_frac, dtype=np.float64))
+    freqs = np.empty((len(k_frac), 3 * n_prim))
+    for ki, kf in enumerate(k_frac):
+        phase = np.exp(2j * np.pi * (images @ kf))  # (n_img,)
+        dk = np.einsum("pamqb,m->paqb", blocks, phase)  # (np,3,np,3) complex
+        dk = (
+            dk
+            * inv_sqrt_m[:, None, None, None]
+            * inv_sqrt_m[None, None, :, None]
+        ).reshape(3 * n_prim, 3 * n_prim)
+        dk = 0.5 * (dk + dk.conj().T)
+        evals = np.linalg.eigvalsh(dk)
+        freqs[ki] = (
+            np.sign(evals) * np.sqrt(np.abs(evals)) * _SQRT_EV_AMU_A2_TO_THZ
+        )
+    return {"frequencies_thz": freqs, "force_constants": phi}
+
+
 def gamma_phonons(potential, params, batch, masses_amu) -> dict:
     """Gamma-point phonon frequencies (THz) and eigenvectors of one cell.
 
