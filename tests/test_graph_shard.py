@@ -126,6 +126,7 @@ def test_halo_matches_legacy_all_gather(mesh):
     )
 
 
+@pytest.mark.slow
 def test_graph_parallel_stress_gradients(mesh):
     """gp loss with stress_weight > 0: value and grads match the single-device
     E/F/S loss (the virial term backpropagates through the halo collectives)."""
@@ -189,6 +190,7 @@ def test_graph_parallel_matches_single_device(mesh):
     )
 
 
+@pytest.mark.slow
 def test_graph_parallel_training_gradients(mesh):
     """jax.grad through the gp loss (halo collectives) matches single-device."""
     import jax.numpy as jnp
@@ -298,6 +300,7 @@ def test_graph_parallel_trainer_overfits_and_checkpoints(mesh, tmp_path):
     assert float(trainer.eval_loss(restored.params, sharded)) < 0.5 * first
 
 
+@pytest.mark.slow
 def test_dp_gp_composed_loss_matches_mean_of_gp_losses():
     """2-D dp x gp mesh: the composed loss is the dp-mean of per-graph gp losses,
     and its gradient is the mean of per-graph gradients."""
@@ -417,6 +420,7 @@ def test_graph_parallel_factorized_matches(mesh):
         )
 
 
+@pytest.mark.slow
 def test_graph_parallel_factorized_loss_grads(mesh):
     """Training gradients through the gp factorized stage (gate halo
     exchange + shard-local A-feature aggregation) match single-device."""
