@@ -100,3 +100,64 @@ def test_md_records_trajectory():
     )
     # frames actually move
     assert np.abs(res.trajectories[0][-1] - res.trajectories[0][0]).max() > 0
+
+
+def test_vacf_and_dos_of_harmonic_motion():
+    """An exactly harmonic trajectory has VACF(t) = cos(w t) and a vibrational
+    DOS peaked at w/2pi — pins both transforms end to end."""
+    from torch_m3gnet_tpu.simulate import (
+        phonon_dos_from_vacf,
+        velocity_autocorrelation,
+    )
+
+    nu_thz = 5.0  # target frequency
+    dt_fs = 2.0
+    omega = 2 * np.pi * nu_thz * 1e-3  # rad/fs
+    t = np.arange(4096) * dt_fs
+    rng = np.random.default_rng(0)
+    phases = rng.uniform(0, 2 * np.pi, size=(8, 3))
+    vel = np.cos(omega * t[:, None, None] + phases[None])  # (T, 8, 3)
+
+    vacf = velocity_autocorrelation(list(vel), max_lag=1024)
+    want = np.cos(omega * t[:1024])
+    np.testing.assert_allclose(vacf, want, atol=5e-2)
+    assert vacf[0] == 1.0
+
+    freqs, dos = phonon_dos_from_vacf(list(vel), dt_fs, max_lag=1024)
+    assert abs(freqs[int(np.argmax(dos))] - nu_thz) < 0.3
+
+
+def test_ensemble_potential_mean_and_disagreement():
+    """Committee evaluation: mean/std across K parameter sets from one
+    vmapped forward; a K=1 committee has exactly zero disagreement and a
+    K=3 committee's mean matches the average of individual applies."""
+    import jax
+
+    from torch_m3gnet_tpu.config import M3GNetConfig
+    from torch_m3gnet_tpu.data.graph import pack_structures
+    from torch_m3gnet_tpu.data.structure import Structure
+    from torch_m3gnet_tpu.models import (
+        EnsemblePotential,
+        build_model,
+        stack_params,
+    )
+
+    s = Structure.from_frac_coords(
+        np.eye(3) * 3.62,
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        [29] * 4,
+    )
+    b = pack_structures([s], 5.0, 4.0, pad_multiple=64)
+    pot = build_model(M3GNetConfig(l_max=2, n_max=2, embedding_dim=8, num_blocks=1))
+    members = [pot.init(jax.random.PRNGKey(k), b) for k in range(3)]
+
+    ens = EnsemblePotential(pot)
+    mean1, std1 = ens.apply(stack_params(members[:1]), b)
+    np.testing.assert_array_equal(np.asarray(std1.energy), 0.0)
+
+    mean3, std3 = ens.apply(stack_params(members), b)
+    want_e = np.mean([float(pot.apply(p, b).energy[0]) for p in members])
+    assert float(mean3.energy[0]) == pytest.approx(want_e, rel=1e-6)
+    want_f = np.mean([np.asarray(pot.apply(p, b).forces) for p in members], axis=0)
+    np.testing.assert_allclose(np.asarray(mean3.forces), want_f, atol=1e-6)
+    assert float(std3.energy[0]) > 0  # different seeds disagree

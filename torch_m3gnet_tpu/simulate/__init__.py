@@ -14,7 +14,9 @@ from torch_m3gnet_tpu.simulate.md import MDConfig, MDResult, run_md
 from torch_m3gnet_tpu.simulate.observables import (
     diffusion_coefficient,
     mean_squared_displacement,
+    phonon_dos_from_vacf,
     radial_distribution,
+    velocity_autocorrelation,
     write_extxyz,
 )
 from torch_m3gnet_tpu.simulate.relax import FireConfig, LbfgsConfig, relax_structures
@@ -30,6 +32,8 @@ __all__ = [
     "mean_squared_displacement",
     "diffusion_coefficient",
     "write_extxyz",
+    "velocity_autocorrelation",
+    "phonon_dos_from_vacf",
     "elastic_tensor",
     "bulk_modulus_voigt",
     "force_constants",

@@ -120,3 +120,39 @@ def write_extxyz(
     finally:
         if close:
             fileobj.close()
+
+
+def velocity_autocorrelation(
+    velocities: Sequence[np.ndarray], max_lag: Optional[int] = None
+) -> np.ndarray:
+    """Normalized VACF(t) = <v(t0).v(t0+t)> / <v.v>, averaged over atoms,
+    components, and time origins (FFT-accelerated). ``velocities`` is a
+    sequence of (N, 3) frames; returns (max_lag,) with VACF[0] = 1."""
+    v = np.stack([np.asarray(f, dtype=np.float64) for f in velocities])
+    t, n, _ = v.shape
+    if max_lag is None:
+        max_lag = t // 2
+    flat = v.reshape(t, -1)  # (T, 3N)
+    # autocorrelation per component via FFT, then average
+    f = np.fft.rfft(flat, n=2 * t, axis=0)
+    acf = np.fft.irfft(f * f.conj(), axis=0)[:max_lag].real  # (lag, 3N)
+    counts = (t - np.arange(max_lag))[:, None]
+    acf = (acf / counts).sum(axis=1)
+    return acf / acf[0]
+
+
+def phonon_dos_from_vacf(
+    velocities: Sequence[np.ndarray], dt_fs: float, max_lag: Optional[int] = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vibrational density of states: cosine transform of the VACF.
+
+    Returns (frequencies_thz, dos) with a Hann window; peak positions match
+    the harmonic normal-mode frequencies (pinned in tests on an exactly
+    harmonic trajectory).
+    """
+    vacf = velocity_autocorrelation(velocities, max_lag=max_lag)
+    m = len(vacf)
+    window = np.hanning(2 * m)[m:]
+    spec = np.abs(np.fft.rfft(vacf * window, n=4 * m))
+    freqs_thz = np.fft.rfftfreq(4 * m, d=dt_fs * 1e-3)  # 1/ps = THz
+    return freqs_thz, spec / max(spec.max(), 1e-300)
