@@ -40,6 +40,14 @@ def main() -> None:
     ap.add_argument("--config", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-phonons", action="store_true")
+    ap.add_argument(
+        "--eos", action="store_true",
+        help="also compute the E(V) curve and a Birch-Murnaghan fit "
+        "(reports E0/V0/B0/B0'; fails gracefully when the sampled window "
+        "holds no minimum)",
+    )
+    ap.add_argument("--eos-strain", type=float, default=0.04)
+    ap.add_argument("--eos-points", type=int, default=13)
     args = ap.parse_args()
 
     import jax
@@ -97,6 +105,24 @@ def main() -> None:
         out["gamma_frequencies_thz"] = np.round(
             ph["frequencies_thz"], 6
         ).tolist()
+    if args.eos:
+        from torch_m3gnet_tpu.simulate import (
+            birch_murnaghan_fit,
+            energy_volume_curve,
+        )
+
+        vols, energies = energy_volume_curve(
+            pot, params, batch,
+            strains=np.linspace(-args.eos_strain, args.eos_strain, args.eos_points),
+        )
+        out["eos_volumes_a3"] = np.round(vols, 6).tolist()
+        out["eos_energies_ev"] = np.round(energies, 8).tolist()
+        try:
+            out["birch_murnaghan"] = {
+                k: round(v, 6) for k, v in birch_murnaghan_fit(vols, energies).items()
+            }
+        except ValueError as exc:
+            out["birch_murnaghan"] = {"error": str(exc)}
     print(json.dumps(out))
 
 
