@@ -236,3 +236,41 @@ def test_phonon_dispersion_supercell_exactness():
         pot, params, prim, (2, 2, 2), [[1e-3, 0, 0]], mass, cutoff, cutoff3
     )["frequencies_thz"]
     assert np.abs(small).max() < np.abs(freqs[1]).max()
+
+
+def test_elastic_cli_end_to_end(tmp_path, capsys):
+    """cli/elastic.py: structure JSON in, elastic matrix + Gamma phonons +
+    EOS out; cubic symmetry of the result guards the strain parametrization
+    through the CLI path."""
+    import json
+    import sys
+
+    import yaml
+
+    from torch_m3gnet_tpu.cli import elastic as cli
+
+    struct = {
+        "lattice": (np.eye(3) * 3.62).tolist(),
+        "frac_coords": [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]],
+        "atomic_numbers": [29] * 4,
+    }
+    sp = tmp_path / "s.json"
+    sp.write_text(json.dumps(struct))
+    cp = tmp_path / "cfg.yaml"
+    cp.write_text(yaml.safe_dump(
+        {"l_max": 2, "n_max": 2, "embedding_dim": 8, "num_blocks": 1}
+    ))
+    argv = sys.argv
+    try:
+        sys.argv = ["elastic", "--structure", str(sp), "--config", str(cp), "--eos"]
+        cli.main()
+    finally:
+        sys.argv = argv
+    out = json.loads(capsys.readouterr().out)
+    c = np.array(out["elastic_gpa"])
+    assert c.shape == (6, 6)
+    np.testing.assert_allclose(c[0, 0], c[1, 1], rtol=1e-5)
+    np.testing.assert_allclose(c[3, 3], c[5, 5], rtol=1e-5)
+    f = np.sort(np.abs(out["gamma_frequencies_thz"]))
+    assert f[:3].max() < 0.05
+    assert len(out["eos_volumes_a3"]) == 13 and "birch_murnaghan" in out
