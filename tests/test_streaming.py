@@ -173,3 +173,60 @@ def test_train_model_streaming_branch(tmp_path):
     import os
 
     assert os.path.exists(str(tmp_path / "run" / "checkpoints" / "last.meta.json"))
+
+
+def test_stream_ladder_batches(tmp_path):
+    """Per-size-class streaming batches: every graph appears exactly once per
+    epoch, each batch is padded to its own class bucket, and the ladder beats
+    the single worst-case bucket on padding efficiency for mixed sizes."""
+    from torch_m3gnet_tpu.data.streaming import (
+        ladder_from_index,
+        stream_ladder_batches,
+    )
+
+    # mixed sizes: small 4-atom cells + 32-atom supercells
+    small = _structures(18, seed=6)
+    big = []
+    for s in _structures(6, seed=7):
+        big.append(s.supercell((2, 2, 2)))
+    structs = small + big
+    ds = StreamingGraphDataset(
+        structs, CUTOFF, CUTOFF3, cache_dir=str(tmp_path), shard_size=5
+    )
+    ladder = ladder_from_index(ds, batch_size=4, num_classes=2, pad_multiple=32)
+    assert len(ladder.buckets) == 2
+    assert ladder.buckets[0].max_triplets < ladder.buckets[1].max_triplets
+
+    batches = list(
+        stream_ladder_batches(ds, 4, ladder, rng=np.random.default_rng(0))
+    )
+    total = sum(int(np.asarray(b.graph_mask).sum()) for b in batches)
+    assert total == len(structs)
+    shapes = {b.triplet_e1.shape[0] for b in batches}
+    assert shapes == {ladder.buckets[0].max_triplets, ladder.buckets[1].max_triplets}
+    # padding efficiency: ladder slots < one worst-case bucket's slots
+    worst = ds.bucket(4, pad_multiple=32)
+    n_batches = -(-len(structs) // 4)
+    ladder_slots = sum(b.triplet_e1.shape[0] for b in batches)
+    assert ladder_slots < n_batches * worst.max_triplets
+
+
+def test_train_model_streaming_with_bucket_ladder(tmp_path):
+    from torch_m3gnet_tpu.train.run import train_model
+
+    cfg = M3GNetConfig(
+        l_max=2, n_max=2, embedding_dim=8, num_blocks=1,
+        cutoff=CUTOFF, threebody_cutoff=CUTOFF3,
+        batch_size=4, max_epochs=2, early_stopping_patience=100,
+        bucket_classes=2, pad_multiple=32,
+        root=str(tmp_path / "run"),
+    )
+    mk = lambda n, name, seed: StreamingGraphDataset(
+        _structures(n, seed=seed), CUTOFF, CUTOFF3,
+        cache_dir=str(tmp_path / "cache"), name=name, shard_size=4,
+    )
+    _, state, metrics = train_model(
+        cfg, mk(12, "train", 8), val_graphs=mk(4, "val", 9),
+        test_graphs=mk(4, "test", 10),
+    )
+    assert state.epoch >= 1 and np.isfinite(metrics["energy_mae"])

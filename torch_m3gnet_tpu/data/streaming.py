@@ -384,3 +384,82 @@ def fit_elemental_energies_streaming(
     rsum = ysum - coeffs @ colsum
     var = max(rss / n - (rsum / n) ** 2, 0.0)
     return coeffs, max(float(np.sqrt(var)), 1e-8)
+
+
+def ladder_from_index(
+    ds: StreamingGraphDataset, batch_size: int, num_classes: int = 3,
+    pad_multiple: int = 128,
+):
+    """Build a :class:`~torch_m3gnet_tpu.data.dataset.BucketLadder` from the
+    INDEX arrays alone (no shard reads) — the streaming counterpart of
+    ``BucketLadder.build``: graphs are split into ``num_classes`` size
+    classes by triplet count and each class gets a worst-case BucketSpec.
+    """
+    from torch_m3gnet_tpu.data.dataset import BucketLadder
+
+    order = np.argsort(ds.sizes_t)
+    splits = np.array_split(order, num_classes)
+    assignments = np.zeros(len(ds), dtype=np.int64)
+    buckets = []
+    for idx in splits:
+        if len(idx) == 0:
+            continue
+        ci = len(buckets)
+        assignments[idx] = ci
+        k = min(batch_size, len(idx))
+
+        def top(a):
+            return int(np.sort(a[idx])[::-1][:k].sum())
+
+        buckets.append(
+            # same worst-case rule as BucketSpec.for_batches
+            BucketSpec(
+                max_nodes=round_up(top(ds.sizes_n) + 1, pad_multiple),
+                max_edges=round_up(top(ds.sizes_e) + 1, pad_multiple),
+                max_triplets=round_up(top(ds.sizes_t) + 1, pad_multiple),
+                max_graphs=batch_size,
+            )
+        )
+    return BucketLadder(buckets=tuple(buckets), assignments=assignments)
+
+
+def stream_ladder_batches(
+    ds: StreamingGraphDataset,
+    batch_size: int,
+    ladder,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[GraphBatch]:
+    """Streaming batches padded per size class (one XLA compilation per
+    class), bounded memory: graphs buffer per class as shards stream by and
+    a class's batch is emitted when it fills; leftovers flush (padded) at
+    the end of the epoch. Needs the epoch's graph order to match the index
+    order, so shards are consumed sequentially and only shuffled WITHIN a
+    class buffer (rng shuffles emission order of the leftovers too)."""
+    buffers: dict[int, list] = {}
+    # iter_graphs shuffles shards when rng is given, which would desync the
+    # index-based class assignments — stream sequentially and shuffle within
+    # class buffers instead.
+    pos = 0
+    for g in ds.iter_graphs(rng=None):
+        ci = int(ladder.assignments[pos])
+        pos += 1
+        buffers.setdefault(ci, []).append(g)
+        if len(buffers[ci]) == batch_size:
+            graphs = buffers.pop(ci)
+            if rng is not None:
+                order = rng.permutation(len(graphs))
+                graphs = [graphs[i] for i in order]
+            b = ladder.buckets[ci]
+            yield pad_batch(
+                batch_graphs(graphs), b.max_nodes, b.max_edges,
+                b.max_triplets, b.max_graphs,
+            )
+    leftover = list(buffers.items())
+    if rng is not None:
+        rng.shuffle(leftover)
+    for ci, graphs in leftover:
+        b = ladder.buckets[ci]
+        yield pad_batch(
+            batch_graphs(graphs), b.max_nodes, b.max_edges,
+            b.max_triplets, b.max_graphs,
+        )

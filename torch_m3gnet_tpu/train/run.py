@@ -166,7 +166,9 @@ def _train_model_streaming(
     from torch_m3gnet_tpu.data.dataset import BucketSpec
     from torch_m3gnet_tpu.data.streaming import (
         fit_elemental_energies_streaming,
+        ladder_from_index,
         stream_batches,
+        stream_ladder_batches,
     )
 
     if max(1, config.num_devices) > 1:
@@ -190,11 +192,32 @@ def _train_model_streaming(
     trainer = Trainer(pot, config, log_dir=os.path.join(config.root, "logs"))
     rng = np.random.default_rng(config.seed)
 
-    def train_batches(epoch: int):
-        return stream_batches(train_ds, config.batch_size, bucket, rng=rng)
+    if getattr(config, "bucket_classes", 1) > 1:
+        # per-size-class padding from the index alone (the mixed-size MPF
+        # regime where one worst-case bucket wastes most triplet slots)
+        ladders = {
+            id(d): ladder_from_index(
+                d, config.batch_size, config.bucket_classes, config.pad_multiple
+            )
+            for d in splits
+        }
 
-    def val_batches():
-        return stream_batches(val_ds, config.batch_size, bucket)
+        def train_batches(epoch: int):
+            return stream_ladder_batches(
+                train_ds, config.batch_size, ladders[id(train_ds)], rng=rng
+            )
+
+        def val_batches():
+            return stream_ladder_batches(
+                val_ds, config.batch_size, ladders[id(val_ds)]
+            )
+
+    else:
+        def train_batches(epoch: int):
+            return stream_batches(train_ds, config.batch_size, bucket, rng=rng)
+
+        def val_batches():
+            return stream_batches(val_ds, config.batch_size, bucket)
 
     example = next(train_batches(0))
     state = trainer.init_state(jax.random.PRNGKey(config.seed), example)
@@ -212,7 +235,11 @@ def _train_model_streaming(
 
     test_metrics: dict = {}
     if test_ds is not None:
-        test_metrics = trainer.evaluate(
-            state.params, stream_batches(test_ds, config.batch_size, bucket)
-        )
+        if getattr(config, "bucket_classes", 1) > 1:
+            test_iter = stream_ladder_batches(
+                test_ds, config.batch_size, ladders[id(test_ds)]
+            )
+        else:
+            test_iter = stream_batches(test_ds, config.batch_size, bucket)
+        test_metrics = trainer.evaluate(state.params, test_iter)
     return trainer, state, test_metrics
