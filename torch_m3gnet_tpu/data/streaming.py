@@ -20,6 +20,9 @@ the scale path (VERDICT r3 next #6):
 - **Fit**: ``fit_elemental_energies_streaming`` solves the same least squares
   as train/elemental.py from the index alone (normal equations, minimum-norm
   pinv solution == numpy lstsq on the dense matrix).
+- **Bucketing**: ``ladder_from_index`` + ``stream_ladder_batches`` give the
+  per-size-class padding of data/dataset.BucketLadder without shard reads —
+  classes buffer independently while shards stream, so memory stays bounded.
 """
 
 from __future__ import annotations
