@@ -53,11 +53,16 @@ def map_reference_state_dict(sd: dict, num_blocks: int) -> dict:
     (out, in) — transposed to flax (in, out) kernels.
     """
 
+    # Copies, not views: ``tensor.numpy()`` aliases live torch parameter
+    # storage, and JAX's CPU device_put is zero-copy for aligned f64 arrays —
+    # a view here would make the mapped flax params silently track torch
+    # optimizer.step() mutations (found the hard way by
+    # benchmarks/train_dynamics.py).
     def W(key):
-        return np.asarray(sd[key], dtype=np.float64).T
+        return np.array(np.asarray(sd[key], dtype=np.float64).T, copy=True)
 
     def B(key):
-        return np.asarray(sd[key], dtype=np.float64)
+        return np.array(sd[key], dtype=np.float64, copy=True)
 
     params = {
         "atom_embed": {"embedding": W("model.3.linear.weight")},

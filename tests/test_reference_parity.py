@@ -237,7 +237,13 @@ def test_reference_legendre_backward_is_wrong_for_l_ge_2():
     from torch_m3gnet_tpu.utils.reference_shims import install_reference_shims
 
     install_reference_shims()
-    from torch_m3gnet.nn.interaction import legendre_cos
+    # Use the class's own .apply, NOT the module-global ``legendre_cos``:
+    # the corrected-chi harness patch (reference_shims.
+    # patch_reference_corrected_chi) rebinds the global in-process, and this
+    # test must always see the reference's original hand-written backward.
+    from torch_m3gnet.nn.interaction import LegendreCosPolynomial
+
+    legendre_cos = LegendreCosPolynomial.apply
 
     x = torch.tensor([0.3, -0.7], dtype=torch.float64, requires_grad=True)
     go = torch.tensor([2.0, 5.0], dtype=torch.float64)
