@@ -37,6 +37,11 @@ def main() -> None:
         "single-pickle cache would not survive that — data/streaming.py)",
     )
     ap.add_argument("--shard-size", type=int, default=256)
+    ap.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="data-parallel devices: shard the stream over an N-device dp "
+        "mesh (stream_sharded_batches; overrides config.num_devices)",
+    )
     args = ap.parse_args()
 
     config = (
@@ -44,6 +49,8 @@ def main() -> None:
         if args.config
         else M3GNetConfig(root=args.root)
     )
+    if args.mesh is not None:
+        config = config.replace(num_devices=args.mesh)
     os.makedirs(config.root, exist_ok=True)
 
     blocks = [

@@ -221,39 +221,56 @@ def sharded_batch_iterator(
     shards (see parallel/dp.py). Trailing graphs that do not fill a full
     global batch are padded with empty graphs.
     """
-    from torch_m3gnet_tpu.parallel.dp import shard_stack
-
     order = np.arange(len(graphs))
     if rng is not None:
         rng.shuffle(order)
     global_bs = per_device_batch * n_devices
     for start in range(0, len(order), global_bs):
         idx = order[start : start + global_bs]
-        shards = []
-        for d in range(n_devices):
-            sel = idx[d * per_device_batch : (d + 1) * per_device_batch]
-            cat = batch_graphs([graphs[i] for i in sel]) if len(sel) else batch_graphs(
-                [graphs[order[0]]]
+        yield stack_global_batch(
+            [graphs[i] for i in idx], per_device_batch, n_devices, bucket
+        )
+
+
+def stack_global_batch(
+    graphs: Sequence[GraphBatch],
+    per_device_batch: int,
+    n_devices: int,
+    bucket: BucketSpec,
+) -> GraphBatch:
+    """Pad + device-stack a (possibly short) graph list into the dp layout.
+
+    Splits ``graphs`` into ``n_devices`` contiguous shards of
+    ``per_device_batch``, pads each to the shared bucket, and stacks along a
+    new leading device axis (parallel/dp.py batch layout). When the list is
+    short, trailing shards are emitted fully padded with every mask (and the
+    real-graph count) zeroed so the dp step's weighted psum ignores them.
+    Shared by the in-memory ``sharded_batch_iterator`` and the streaming
+    ``stream_sharded_batches`` (data/streaming.py).
+    """
+    from torch_m3gnet_tpu.parallel.dp import shard_stack
+
+    shards = []
+    for d in range(n_devices):
+        sel = graphs[d * per_device_batch : (d + 1) * per_device_batch]
+        cat = batch_graphs(list(sel) if sel else [graphs[0]])
+        padded = pad_batch(
+            cat,
+            bucket.max_nodes,
+            bucket.max_edges,
+            bucket.max_triplets,
+            bucket.max_graphs,
+        )
+        if not sel:
+            padded = padded.replace(
+                node_mask=np.zeros_like(np.asarray(padded.node_mask)),
+                edge_mask=np.zeros_like(np.asarray(padded.edge_mask)),
+                triplet_mask=np.zeros_like(np.asarray(padded.triplet_mask)),
+                graph_mask=np.zeros_like(np.asarray(padded.graph_mask)),
+                num_graphs_real=0,
             )
-            padded = pad_batch(
-                cat,
-                bucket.max_nodes,
-                bucket.max_edges,
-                bucket.max_triplets,
-                bucket.max_graphs,
-            )
-            if len(sel) == 0:
-                # no real graphs for this shard — zero every mask (and the
-                # real-graph count, so metric/grad weighting ignores it)
-                padded = padded.replace(
-                    node_mask=np.zeros_like(np.asarray(padded.node_mask)),
-                    edge_mask=np.zeros_like(np.asarray(padded.edge_mask)),
-                    triplet_mask=np.zeros_like(np.asarray(padded.triplet_mask)),
-                    graph_mask=np.zeros_like(np.asarray(padded.graph_mask)),
-                    num_graphs_real=0,
-                )
-            shards.append(padded)
-        yield shard_stack(shards)
+        shards.append(padded)
+    return shard_stack(shards)
 
 
 def split_dataset(

@@ -119,6 +119,14 @@ def graph_from_structure(
     energy = props.get("energy")
     forces = props.get("forces")
     stress = props.get("stress")
+    if forces is not None and np.asarray(forces).reshape(-1, 3).shape[0] != n:
+        # catch stale per-atom targets early (e.g. a forces array carried
+        # across a cell-size change) — downstream it would surface only as a
+        # shape mismatch deep inside batch stacking
+        raise ValueError(
+            f"forces target has {np.asarray(forces).reshape(-1, 3).shape[0]} "
+            f"rows for a {n}-atom structure"
+        )
 
     return GraphBatch(
         positions=structure.cart_coords.astype(dtype),

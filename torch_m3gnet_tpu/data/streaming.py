@@ -353,6 +353,80 @@ def stream_batches(
         )
 
 
+def stream_sharded_batches(
+    ds: StreamingGraphDataset,
+    per_device_batch: int,
+    n_devices: int,
+    bucket: BucketSpec,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[GraphBatch]:
+    """Device-stacked dp batches from a streaming dataset (bounded RSS).
+
+    The streaming counterpart of ``sharded_batch_iterator``
+    (data/dataset.py): every yield has a leading ``n_devices`` axis of
+    identically padded shards for parallel/dp.py; each device sees
+    ``per_device_batch`` graphs per step, all shards share one static bucket
+    so the sharded step compiles once. Short epoch tails pad trailing shards
+    empty (masks + real-graph count zeroed — the dp step's weighted psum
+    ignores them). This is the MPF-scale composition of the streaming and
+    data-parallel axes (VERDICT r4 #2).
+    """
+    from torch_m3gnet_tpu.data.dataset import stack_global_batch
+
+    global_bs = per_device_batch * n_devices
+    pending: list[GraphBatch] = []
+    for g in ds.iter_graphs(rng=rng):
+        pending.append(g)
+        if len(pending) == global_bs:
+            yield stack_global_batch(pending, per_device_batch, n_devices, bucket)
+            pending = []
+    if pending:
+        yield stack_global_batch(pending, per_device_batch, n_devices, bucket)
+
+
+def stream_ladder_sharded_batches(
+    ds: StreamingGraphDataset,
+    per_device_batch: int,
+    n_devices: int,
+    ladder,
+    rng: Optional[np.random.Generator] = None,
+) -> Iterator[GraphBatch]:
+    """Per-size-class padded dp batches from a streaming dataset.
+
+    Composes ``stream_ladder_batches``'s class buffering with the dp device
+    stacking: a class emits a stacked global batch once it has
+    ``per_device_batch * n_devices`` graphs, every shard of a yield shares
+    that class's bucket (one compilation per class), leftovers flush padded
+    (possibly with empty trailing shards). Shards stream sequentially so the
+    index-based class assignments stay aligned; shuffling happens within a
+    class buffer before emission.
+    """
+    from torch_m3gnet_tpu.data.dataset import stack_global_batch
+
+    global_bs = per_device_batch * n_devices
+    buffers: dict[int, list] = {}
+    pos = 0
+    for g in ds.iter_graphs(rng=None):
+        ci = int(ladder.assignments[pos])
+        pos += 1
+        buffers.setdefault(ci, []).append(g)
+        if len(buffers[ci]) == global_bs:
+            graphs = buffers.pop(ci)
+            if rng is not None:
+                order = rng.permutation(len(graphs))
+                graphs = [graphs[i] for i in order]
+            yield stack_global_batch(
+                graphs, per_device_batch, n_devices, ladder.buckets[ci]
+            )
+    leftover = list(buffers.items())
+    if rng is not None:
+        rng.shuffle(leftover)
+    for ci, graphs in leftover:
+        yield stack_global_batch(
+            graphs, per_device_batch, n_devices, ladder.buckets[ci]
+        )
+
+
 def fit_elemental_energies_streaming(
     ds: StreamingGraphDataset,
 ) -> tuple[np.ndarray, float]:

@@ -82,7 +82,14 @@ class Structure:
         )
 
     def supercell(self, reps: tuple[int, int, int]) -> "Structure":
-        """Return an (na, nb, nc) supercell (site order: image-major)."""
+        """Return an (na, nb, nc) supercell (site order: image-major).
+
+        Targets transform for exact periodic replication: ``energy`` is
+        extensive (x M images), ``forces`` replicate per image (every image
+        of a site has an identical environment), ``stress`` is intensive
+        (unchanged). Copying the dict verbatim would silently attach a
+        4-row forces array to a 32-atom cell.
+        """
         na, nb, nc = reps
         images = np.array(
             [[i, j, k] for i in range(na) for j in range(nb) for k in range(nc)],
@@ -92,4 +99,12 @@ class Structure:
         coords = (shift_cart[:, None, :] + self.cart_coords[None, :, :]).reshape(-1, 3)
         numbers = np.tile(self.atomic_numbers, len(images))
         new_lattice = self.lattice * np.array([[na], [nb], [nc]], dtype=np.float64)
-        return Structure(new_lattice, coords, numbers, dict(self.properties))
+        props = dict(self.properties)
+        m = len(images)
+        if props.get("energy") is not None:
+            props["energy"] = float(props["energy"]) * m
+        if props.get("forces") is not None:
+            props["forces"] = np.tile(
+                np.asarray(props["forces"]).reshape(-1, 3), (m, 1)
+            )
+        return Structure(new_lattice, coords, numbers, props)
