@@ -41,7 +41,7 @@ from torch_m3gnet_tpu.ops.basis import (
     smooth_radial_basis,
     smooth_radial_basis_fm,
 )
-from torch_m3gnet_tpu.ops.halo import halo_exchange
+from torch_m3gnet_tpu.ops.halo import halo_exchange, halo_exchange_fm
 from torch_m3gnet_tpu.ops.segment import segment_sum, segment_sum_fm, take, take_fm
 
 
@@ -170,8 +170,10 @@ class M3GNet(nn.Module):
     # for xyz rows); fm puts the huge E/N axis on lanes and the small feature
     # axis on sublanes (padding only to a multiple of 8). Parameter trees are
     # identical between layouts (DenseFM mirrors nn.Dense), so checkpoints
-    # are interchangeable. fm requires factorized_triplets and no halo_axis,
-    # and consumes (3, E) edge vectors (see :func:`edge_vectors_fm`).
+    # are interchangeable. fm requires factorized_triplets, consumes (3, E)
+    # edge vectors (see :func:`edge_vectors_fm`), and composes with
+    # halo_axis: node-feature reads through extended-local ids go through the
+    # feature-major halo exchange (node COLUMNS; ops/halo.halo_exchange_fm).
     layout: str = "em"
     # Profiling-only: drop the three-body stage entirely (used by
     # benchmarks/ablate_step.py to attribute step time between the triplet
@@ -205,10 +207,8 @@ class M3GNet(nn.Module):
         r_vec: jnp.ndarray,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         if self.layout == "fm":
-            if not self.factorized_triplets or self.halo_axis is not None:
-                raise ValueError(
-                    "layout='fm' requires factorized_triplets and no halo_axis"
-                )
+            if not self.factorized_triplets:
+                raise ValueError("layout='fm' requires factorized_triplets")
             if r_vec.shape[0] != 3:
                 raise ValueError(
                     "layout='fm' consumes FEATURE-MAJOR (3, E) edge vectors "
@@ -504,6 +504,23 @@ class M3GNet(nn.Module):
         edge_mask = graph.edge_mask.astype(dtype)  # (E,)
         graph_mask = graph.graph_mask.astype(dtype)  # (B,)
 
+        def extend_nodes_fm(x_fm):
+            """fm counterpart of the em ``extend_nodes``: make remote node
+            COLUMNS addressable under graph parallelism (boundary-only
+            ppermutes with a halo plan, legacy all_gather of columns
+            otherwise)."""
+            if graph.halo_send_idx is not None:
+                return halo_exchange_fm(
+                    x_fm, graph.halo_send_idx, graph.halo_recv_idx,
+                    graph.halo_offsets, self.halo_axis,
+                )
+            return jax.lax.all_gather(x_fm, self.halo_axis, axis=1, tiled=True)
+
+        def gather_nodes_fm(x_fm, idx):
+            if self.halo_axis is None:
+                return take_fm(x_fm, idx)
+            return take_fm(extend_nodes_fm(x_fm), idx)
+
         # --- geometry -----------------------------------------------------
         r_fm = r_vec_fm / self.length_scale
         sq = jnp.sum(r_fm * r_fm, axis=0)
@@ -572,7 +589,7 @@ class M3GNet(nn.Module):
             src = jnp.asarray(graph.edge_src)
 
             def triplet_aggregate(gate_fm):
-                gate_e = take_fm(gate_fm, graph.edge_dst)  # (ln, E)
+                gate_e = gather_nodes_fm(gate_fm, graph.edge_dst)  # (ln, E)
                 g = chifc_flat * gate_e.astype(cdtype0)  # (ln, E)
                 a = q_scatter(
                     sh_fm, g, src, graph.num_nodes, self.l_max, self.n_max
@@ -584,7 +601,7 @@ class M3GNet(nn.Module):
 
         else:
             def triplet_aggregate(gate_fm):
-                gate_e = take_fm(gate_fm, graph.edge_dst)  # (ln, E)
+                gate_e = gather_nodes_fm(gate_fm, graph.edge_dst)  # (ln, E)
                 gate_e = gate_e.reshape(self.l_max, self.n_max, -1).astype(cdtype0)
                 g = chifc_fm * gate_e  # (l, n, E)
                 w = sh_fm[:, None, :] * g[l_idx]  # (M, n, E)
@@ -625,7 +642,7 @@ class M3GNet(nn.Module):
                 )
 
             vi = take_fm(v_fm, graph.edge_src)
-            vj = take_fm(v_fm, graph.edge_dst)
+            vj = gather_nodes_fm(v_fm, graph.edge_dst)
             concat = jnp.concatenate([vi, vj, e_fm], axis=0)  # (3D, E)
             e_fm = e_fm + GatedMLPFM([d, d], fuse_first=self.fuse_gated_mlp, fuse_second=self.fuse_gated_second, name=f"conv_edge_{b}")(
                 concat
