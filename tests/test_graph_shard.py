@@ -126,7 +126,6 @@ def test_halo_matches_legacy_all_gather(mesh):
     )
 
 
-@pytest.mark.slow
 def test_graph_parallel_stress_gradients(mesh):
     """gp loss with stress_weight > 0: value and grads match the single-device
     E/F/S loss (the virial term backpropagates through the halo collectives)."""
@@ -151,13 +150,13 @@ def test_graph_parallel_stress_gradients(mesh):
         return loss
 
     ref_val = float(ref_loss(params))
-    ref_grads = jax.grad(ref_loss)(params)
+    ref_grads = jax.jit(jax.grad(ref_loss))(params)
 
     gp = GraphParallelPotential(pot.model, mesh)
     sharded = partition_graph(g, 4)
     loss_fn = gp.make_loss(cfg)
     np.testing.assert_allclose(float(loss_fn(params, sharded)), ref_val, rtol=1e-5)
-    gp_grads = jax.grad(lambda p: loss_fn(p, sharded))(params)
+    gp_grads = jax.jit(jax.grad(lambda p: loss_fn(p, sharded)))(params)
     for a, b in zip(jax.tree.leaves(gp_grads), jax.tree.leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
 
@@ -190,7 +189,6 @@ def test_graph_parallel_matches_single_device(mesh):
     )
 
 
-@pytest.mark.slow
 def test_graph_parallel_training_gradients(mesh):
     """jax.grad through the gp loss (halo collectives) matches single-device."""
     import jax.numpy as jnp
@@ -215,13 +213,13 @@ def test_graph_parallel_training_gradients(mesh):
         return loss
 
     ref_val = float(ref_loss(params))
-    ref_grads = jax.grad(ref_loss)(params)
+    ref_grads = jax.jit(jax.grad(ref_loss))(params)
 
     gp = GraphParallelPotential(pot.model, mesh)
     sharded = partition_graph(g, 4)
     loss_fn = gp.make_loss(CONFIG.replace(stress_weight=0.0))
     gp_val = float(loss_fn(params, sharded))
-    gp_grads = jax.grad(lambda p: loss_fn(p, sharded))(params)
+    gp_grads = jax.jit(jax.grad(lambda p: loss_fn(p, sharded)))(params)
 
     np.testing.assert_allclose(gp_val, ref_val, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(gp_grads), jax.tree.leaves(ref_grads)):
@@ -300,7 +298,6 @@ def test_graph_parallel_trainer_overfits_and_checkpoints(mesh, tmp_path):
     assert float(trainer.eval_loss(restored.params, sharded)) < 0.5 * first
 
 
-@pytest.mark.slow
 def test_dp_gp_composed_loss_matches_mean_of_gp_losses():
     """2-D dp x gp mesh: the composed loss is the dp-mean of per-graph gp losses,
     and its gradient is the mean of per-graph gradients."""
@@ -338,7 +335,7 @@ def test_dp_gp_composed_loss_matches_mean_of_gp_losses():
     for g in graphs:
         sharded = partition_graph(g, 4)
         vals.append(float(loss1(params, sharded)))
-        grads.append(jax.grad(lambda p: loss1(p, sharded))(params))
+        grads.append(jax.jit(jax.grad(lambda p: loss1(p, sharded)))(params))
 
     # composed: both graphs in one dp x gp step
     gp2 = GraphParallelPotential(pot.model, mesh2d)
@@ -346,7 +343,7 @@ def test_dp_gp_composed_loss_matches_mean_of_gp_losses():
     stacked = stack_partitions(graphs, 4)
     assert stacked.positions.shape[:2] == (2, 4)
     val2 = float(loss2(params, stacked))
-    grad2 = jax.grad(lambda p: loss2(p, stacked))(params)
+    grad2 = jax.jit(jax.grad(lambda p: loss2(p, stacked)))(params)
 
     np.testing.assert_allclose(val2, np.mean(vals), rtol=1e-5)
     for a, b0, b1 in zip(
@@ -420,7 +417,6 @@ def test_graph_parallel_factorized_matches(mesh):
         )
 
 
-@pytest.mark.slow
 def test_graph_parallel_factorized_loss_grads(mesh):
     """Training gradients through the gp factorized stage (gate halo
     exchange + shard-local A-feature aggregation) match single-device."""
@@ -445,13 +441,13 @@ def test_graph_parallel_factorized_loss_grads(mesh):
         return loss
 
     ref_val = float(ref_loss(params))
-    ref_grads = jax.grad(ref_loss)(params)
+    ref_grads = jax.jit(jax.grad(ref_loss))(params)
 
     gp = GraphParallelPotential(pot.model, mesh)
     sharded = partition_graph(g, 4)
     loss_fn = gp.make_loss(cfg)
     np.testing.assert_allclose(float(loss_fn(params, sharded)), ref_val, rtol=1e-5)
-    gp_grads = jax.grad(lambda p: loss_fn(p, sharded))(params)
+    gp_grads = jax.jit(jax.grad(lambda p: loss_fn(p, sharded)))(params)
     for a, b in zip(jax.tree.leaves(gp_grads), jax.tree.leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
 
@@ -496,7 +492,6 @@ def test_graph_parallel_fm_layout_matches(mesh):
     )
 
 
-@pytest.mark.slow
 def test_graph_parallel_fm_loss_grads(mesh):
     """Training gradients flow through the fm column halo exchange and match
     the unsharded fm loss gradients."""
@@ -522,13 +517,13 @@ def test_graph_parallel_fm_loss_grads(mesh):
         return loss
 
     ref_val = float(ref_loss(params))
-    ref_grads = jax.grad(ref_loss)(params)
+    ref_grads = jax.jit(jax.grad(ref_loss))(params)
 
     gp = GraphParallelPotential(pot.model, mesh)
     sharded = partition_graph(g, 4)
     loss_fn = gp.make_loss(cfg)
     np.testing.assert_allclose(float(loss_fn(params, sharded)), ref_val, rtol=1e-5)
-    gp_grads = jax.grad(lambda p: loss_fn(p, sharded))(params)
+    gp_grads = jax.jit(jax.grad(lambda p: loss_fn(p, sharded)))(params)
     for a, b in zip(jax.tree.leaves(gp_grads), jax.tree.leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
 

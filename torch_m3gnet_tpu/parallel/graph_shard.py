@@ -623,7 +623,12 @@ class GraphParallelPotential:
                 loss = jax.lax.pmean(loss, dp_axis)
             return loss
 
-        return lambda params, sharded: loss_fn(params, sharded)
+        # jit the returned fn: an EAGER shard_map call executes op-by-op
+        # through the per-shard dispatch path (~2000x slower than the
+        # compiled program on the CPU test mesh — the round-4 "47-minute
+        # slow tests" were exactly this). Calls from inside an outer jit
+        # (GraphParallelTrainer.step) simply inline.
+        return jax.jit(loss_fn)
 
     def apply(self, params, sharded: GraphBatch) -> PotentialOutput:
         energy, forces, stress = self._japply(params, sharded)
