@@ -1,0 +1,148 @@
+"""Contention-filtered A/B for the shared-tunnel chip.
+
+The chip's contention arrives in minute-to-hour epochs during which paired
+ratios compress toward 1 (docs/benchmark.md); a fixed-length run that lands
+inside one cannot discriminate variants. This harness runs the alternating-
+order round-robin for a wall-clock budget, logs EVERY window, and analyzes
+only *quiet* windows — those whose fastest burst beats ``quiet_ms`` (set
+from the known quiet-epoch floor of the base variant). Reported per variant:
+quiet-window count, best ms, median ms over quiet windows, and the median
+paired ratio vs the first variant over quiet windows.
+
+Used for the round-5 fused-factorized-stage decision (VERDICT r4 #5) and
+the train-step ablation rerun (#4).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
+             idle_s: float = 1.5, verbose: bool = True) -> dict:
+    """fns: {name: (fn, args)}. First entry is the ratio base."""
+    import jax
+
+    names = list(fns)
+    for fn, args in fns.values():
+        jax.block_until_ready(fn(*args))
+
+    rows = []
+    deadline = time.time() + budget_s
+    w = 0
+    while time.time() < deadline:
+        time.sleep(idle_s)
+        order = names if w % 2 == 0 else list(reversed(names))
+        row = {}
+        for n in order:
+            fn, args = fns[n]
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            row[n] = (time.perf_counter() - t0) / iters * 1e3
+        rows.append(row)
+        if verbose and w % 10 == 0:
+            print(
+                f"[{w:4d}] " + " ".join(f"{n}={row[n]:.3f}" for n in names),
+                flush=True,
+            )
+        w += 1
+
+    base = names[0]
+    quiet = [r for r in rows if min(r.values()) < quiet_ms]
+    out = {"windows": len(rows), "quiet_windows": len(quiet),
+           "quiet_ms_threshold": quiet_ms, "variants": {}}
+    for n in names:
+        all_t = [r[n] for r in rows]
+        q_t = [r[n] for r in quiet]
+        ratios = [r[n] / r[base] for r in quiet] if quiet else []
+        out["variants"][n] = {
+            "best_ms": round(min(all_t), 4),
+            "quiet_median_ms": round(float(np.median(q_t)), 4) if q_t else None,
+            "quiet_ratio_vs_first": (
+                round(float(np.median(ratios)), 4) if ratios else None
+            ),
+        }
+    return out
+
+
+def main_fused_stage(budget_s: float = 2400.0, n_graphs: int = 32) -> None:
+    """Fused factorized-stage kernels: eval AND train step, on vs off."""
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/m3g_jax")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import tempfile
+
+    from bench import build_batch
+    from torch_m3gnet_tpu.config import M3GNetConfig
+    from torch_m3gnet_tpu.models import build_model
+    from torch_m3gnet_tpu.train.loop import Trainer
+
+    batch = build_batch(n_graphs=n_graphs)
+    rng = np.random.default_rng(7)
+    train_batch = batch.replace(
+        energy=(-3.5 * np.asarray(batch.n_node)).astype(np.float32),
+        forces=(0.1 * rng.standard_normal((batch.num_nodes, 3))).astype(np.float32),
+        stress=(0.01 * rng.standard_normal((batch.num_graphs, 6))).astype(np.float32),
+    )
+    lr = jnp.asarray(1e-3)
+
+    fns = {}
+    for name, cfg in {
+        "eval_xla": M3GNetConfig(),
+        "eval_fused": M3GNetConfig(fused_factorized="on", layout="fm",
+                                   threebody_mode="factorized"),
+        "train_xla": None,
+        "train_fused": None,
+    }.items():
+        if name.startswith("eval"):
+            pot = build_model(cfg)
+
+            def step(params, b, pot=pot):
+                out = pot.apply(params, b)
+                return out.energy, out.forces, out.stress
+
+            params = pot.init(jax.random.PRNGKey(0), batch)
+            fns[name] = (jax.jit(step), (params, batch))
+        else:
+            cfg = (
+                M3GNetConfig() if name == "train_xla"
+                else M3GNetConfig(fused_factorized="on", layout="fm",
+                                  threebody_mode="factorized")
+            )
+            pot = build_model(cfg)
+            trainer = Trainer(pot, cfg, log_dir=tempfile.mkdtemp())
+            state = trainer.init_state(jax.random.PRNGKey(0), train_batch)
+            fns[name] = (trainer.train_step, (state, train_batch, lr))
+        print(f"[quiet_ab] compiled {name}", file=sys.stderr, flush=True)
+
+    # quiet floors (tpu-tunnel-timing memory): eval ~0.89-0.96 ms, so a
+    # window whose fastest burst is under 1.4 ms saw a quiet chip.
+    report = quiet_ab(fns, budget_s=budget_s, quiet_ms=1.4)
+    report["graphs"] = n_graphs
+    import jax as _j
+
+    report["device"] = str(_j.devices()[0])
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    main_fused_stage(
+        float(sys.argv[1]) if len(sys.argv) > 1 else 2400.0,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+    )

@@ -135,9 +135,15 @@ class Trainer:
         log_dir: Optional[str] = None,
         log_tensorboard: bool = False,
         log_param_stats: bool = False,
+        prefetch: int = 2,
     ):
         self.potential = potential
         self.config = config
+        # device-prefetch depth for the epoch loops (train/prefetch.py):
+        # overlaps host batch assembly + host->device transfer with device
+        # compute. 0 disables. Applied only while the step functions are the
+        # single-device ones (dp/gp overrides place batches via shard specs).
+        self.prefetch = prefetch
         self.log_dir = log_dir or os.path.join(config.root, "logs")
         self.log_param_stats = log_param_stats
         self._tb = None
@@ -179,6 +185,23 @@ class Trainer:
 
         self.train_step = jax.jit(train_step)
         self.eval_step = jax.jit(eval_step)
+        # identity markers: fit()/evaluate() prefetch to the default device
+        # only while running these single-device steps (run.py swaps in
+        # dp/gp steps whose shard specs own batch placement)
+        self._single_train_step = self.train_step
+        self._single_eval_step = self.eval_step
+
+    def _maybe_prefetch(self, batches, for_train: bool):
+        from torch_m3gnet_tpu.train.prefetch import device_prefetch
+
+        own = (
+            self.train_step is self._single_train_step
+            if for_train
+            else self.eval_step is self._single_eval_step
+        )
+        if self.prefetch > 0 and own:
+            return device_prefetch(batches, self.prefetch)
+        return batches
 
     @staticmethod
     def _set_lr(opt_state, lr):
@@ -248,7 +271,7 @@ class Trainer:
             )
             t0 = time.time()
             acc = MetricAccumulator()
-            for batch in train_batches(epoch):
+            for batch in self._maybe_prefetch(train_batches(epoch), True):
                 state, metrics = self.train_step(state, batch, jnp.asarray(lr))
                 acc.update(
                     {k: float(v) for k, v in metrics.items()},
@@ -266,7 +289,7 @@ class Trainer:
 
             if val_batches is not None:
                 vacc = MetricAccumulator()
-                for batch in val_batches():
+                for batch in self._maybe_prefetch(val_batches(), False):
                     vacc.update(
                         {k: float(v) for k, v in self.eval_step(state.params, batch).items()},
                         weight=max(batch.num_graphs_real, 1),
@@ -314,7 +337,7 @@ class Trainer:
 
     def evaluate(self, params, batches: Iterable[GraphBatch]) -> dict[str, float]:
         acc = MetricAccumulator()
-        for batch in batches:
+        for batch in self._maybe_prefetch(batches, False):
             acc.update(
                 {k: float(v) for k, v in self.eval_step(params, batch).items()},
                 weight=max(batch.num_graphs_real, 1),
