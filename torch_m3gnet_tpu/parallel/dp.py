@@ -63,6 +63,10 @@ class DataParallel:
         self.config = config
         self.mesh = mesh
         self.axis = axis
+        # target sharding of stacked batches (leading device axis over dp) —
+        # used by the Trainer's device-prefetch pipeline to issue the
+        # distributed host->device copies ahead of the step
+        self.batch_sharding = NamedSharding(mesh, P(axis))
         # same chain as the single-chip Trainer, incl. MultiSteps gradient
         # accumulation when config.accumulate_grad_batches > 1
         self.opt = make_optimizer(config)

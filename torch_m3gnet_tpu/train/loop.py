@@ -190,17 +190,26 @@ class Trainer:
         # dp/gp steps whose shard specs own batch placement)
         self._single_train_step = self.train_step
         self._single_eval_step = self.eval_step
+        # set (e.g. to DataParallel.batch_sharding) when parallel steps are
+        # swapped in, so prefetch issues the distributed copies instead
+        self.prefetch_sharding = None
 
     def _maybe_prefetch(self, batches, for_train: bool):
         from torch_m3gnet_tpu.train.prefetch import device_prefetch
 
+        if self.prefetch <= 0:
+            return batches
         own = (
             self.train_step is self._single_train_step
             if for_train
             else self.eval_step is self._single_eval_step
         )
-        if self.prefetch > 0 and own:
+        if own:
             return device_prefetch(batches, self.prefetch)
+        if self.prefetch_sharding is not None:
+            return device_prefetch(
+                batches, self.prefetch, device=self.prefetch_sharding
+            )
         return batches
 
     @staticmethod

@@ -79,6 +79,7 @@ def train_model(
         trainer.train_step = dp.train_step
         trainer.eval_step = dp.eval_step
         trainer.opt = dp.opt
+        trainer.prefetch_sharding = dp.batch_sharding
 
         def train_batches(epoch: int):
             return sharded_batch_iterator(train_graphs, per_dev, n_dev, bucket, rng=rng)
@@ -205,6 +206,7 @@ def _train_model_streaming(
         trainer.train_step = dp.train_step
         trainer.eval_step = dp.eval_step
         trainer.opt = dp.opt
+        trainer.prefetch_sharding = dp.batch_sharding
 
     use_ladder = getattr(config, "bucket_classes", 1) > 1
     if use_ladder:
