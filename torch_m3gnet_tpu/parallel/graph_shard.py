@@ -46,7 +46,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from torch_m3gnet_tpu.data.graph import GraphBatch, round_up
 from torch_m3gnet_tpu.models.m3gnet import M3GNet, PotentialOutput, _voigt
@@ -685,6 +685,11 @@ class GraphParallelTrainer:
         self.potential = GraphParallelPotential(potential.model, mesh, axis)
         self.config = config
         self.dp_axis = dp_axis
+        # stacked-batch placement for the fit loop's device prefetch
+        # (leading axes: (dp,) gp — matches stack_partitions layout)
+        self.batch_sharding = NamedSharding(
+            mesh, P(dp_axis, axis) if dp_axis else P(axis)
+        )
         self.opt = make_optimizer(config)
         loss_fn = self.potential.make_loss(config, dp_axis=dp_axis)
         opt = self.opt
@@ -760,7 +765,11 @@ class GraphParallelTrainer:
             )
             t0 = time.time()
             tot, cnt = 0.0, 0
-            for sharded in train_batches(epoch):
+            from torch_m3gnet_tpu.train.prefetch import device_prefetch
+
+            for sharded in device_prefetch(
+                train_batches(epoch), 2, device=self.batch_sharding
+            ):
                 state, m = self.train_step(state, sharded, lr)
                 tot += float(m["loss"])
                 cnt += 1
