@@ -61,11 +61,19 @@ def build_batch(n_graphs: int = 8, n_cells: int = 3, seed: int = 0):
 
 
 def _best_window(run_burst, budget_s: float, iters: int, min_windows: int = 6,
-                 max_windows: int = 90) -> float:
+                 max_windows: int = 90, extend_if_above_s: float | None = None,
+                 extend_budget_s: float = 0.0) -> float:
     """Idle-then-burst timing protocol (docs/benchmark.md): the shared-tunnel
     chip sees minute-scale contention epochs (up to ~50x) and throttles
     sustained submission ~10x, so spread short bursts over the budget and
-    take the best per-iteration time."""
+    take the best per-iteration time.
+
+    ``extend_if_above_s``: when every window of the base budget stays above
+    this per-iteration floor (a known-quiet reference time x margin), the
+    run landed inside a contention epoch — keep sampling for up to
+    ``extend_budget_s`` more in the hope of a quiet gap, stopping early the
+    moment a window beats the floor (round-5 protocol note: a 45-minute
+    epoch yielded exactly one quiet window)."""
     import jax
 
     windows = []
@@ -80,6 +88,16 @@ def _best_window(run_burst, budget_s: float, iters: int, min_windows: int = 6,
         jax.block_until_ready(out)
         windows.append((time.perf_counter() - t0) / iters)
         time.sleep(2.0)
+    if extend_if_above_s is not None and min(windows) > extend_if_above_s:
+        hard = time.time() + extend_budget_s
+        while time.time() < hard and min(windows) > extend_if_above_s:
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = run_burst()
+            jax.block_until_ready(out)
+            windows.append((time.perf_counter() - t0) / iters)
+            time.sleep(1.5)
     return min(windows)
 
 
@@ -119,8 +137,10 @@ def main() -> None:
 
     # --- headline: E/F/S eval at the 32-graph operating point -------------
     jax.block_until_ready(step(params, batch))  # compile + warmup
+    # quiet floor ~0.89-0.93 ms (rounds 4-5); 1.25 ms = floor x ~1.35 margin
     dt = _best_window(lambda: step(params, batch), budget_s=240.0, iters=8,
-                      min_windows=8)
+                      min_windows=8, extend_if_above_s=1.25e-3,
+                      extend_budget_s=360.0)
     rate = (real_edges + real_triplets) / dt
     vs = rate / BASELINE_RATE if BASELINE_RATE else 1.0
 
@@ -157,7 +177,9 @@ def main() -> None:
         return state.params
 
     jax.block_until_ready(train_burst())  # compile + warmup
-    dt_train = _best_window(train_burst, budget_s=120.0, iters=8)
+    # train quiet floor ~2.07 ms (round 4)
+    dt_train = _best_window(train_burst, budget_s=120.0, iters=8,
+                            extend_if_above_s=2.8e-3, extend_budget_s=240.0)
     train_rate = (real_edges + real_triplets) / dt_train
 
     print(

@@ -22,8 +22,14 @@ import numpy as np
 
 
 def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
-             idle_s: float = 1.5, verbose: bool = True) -> dict:
-    """fns: {name: (fn, args)}. First entry is the ratio base."""
+             idle_s: float = 1.5, verbose: bool = True,
+             rows_out: str | None = None) -> dict:
+    """fns: {name: (fn, args)}. First entry is the ratio base.
+
+    ``rows_out``: append every window's times as a JSON line — quiet windows
+    are rare inside long contention epochs, so evidence pools across runs
+    (analyze with :func:`pooled_report`).
+    """
     import jax
 
     names = list(fns)
@@ -45,6 +51,9 @@ def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
             jax.block_until_ready(out)
             row[n] = (time.perf_counter() - t0) / iters * 1e3
         rows.append(row)
+        if rows_out:
+            with open(rows_out, "a") as f:
+                f.write(json.dumps({"order": order, **row}) + "\n")
         if verbose and w % 10 == 0:
             print(
                 f"[{w:4d}] " + " ".join(f"{n}={row[n]:.3f}" for n in names),
@@ -64,6 +73,32 @@ def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
             "best_ms": round(min(all_t), 4),
             "quiet_median_ms": round(float(np.median(q_t)), 4) if q_t else None,
             "quiet_ratio_vs_first": (
+                round(float(np.median(ratios)), 4) if ratios else None
+            ),
+        }
+    return out
+
+
+def pooled_report(rows_path: str, quiet_ms: float, base: str) -> dict:
+    """Quiet-window analysis pooled over every run that appended to
+    ``rows_path``; ratio medians pair within windows as in quiet_ab."""
+    rows = []
+    with open(rows_path) as f:
+        for line in f:
+            r = json.loads(line)
+            r.pop("order", None)
+            rows.append(r)
+    quiet = [r for r in rows if min(r.values()) < quiet_ms]
+    names = list(rows[0]) if rows else []
+    out = {"windows": len(rows), "quiet_windows": len(quiet),
+           "quiet_ms_threshold": quiet_ms, "variants": {}}
+    for n in names:
+        q_t = [r[n] for r in quiet]
+        ratios = [r[n] / r[base] for r in quiet] if quiet else []
+        out["variants"][n] = {
+            "best_ms": round(min(r[n] for r in rows), 4),
+            "quiet_median_ms": round(float(np.median(q_t)), 4) if q_t else None,
+            "quiet_ratio_vs_base": (
                 round(float(np.median(ratios)), 4) if ratios else None
             ),
         }
@@ -130,7 +165,12 @@ def main_fused_stage(budget_s: float = 2400.0, n_graphs: int = 32) -> None:
 
     # quiet floors (tpu-tunnel-timing memory): eval ~0.89-0.96 ms, so a
     # window whose fastest burst is under 1.4 ms saw a quiet chip.
-    report = quiet_ab(fns, budget_s=budget_s, quiet_ms=1.4)
+    import os as _os
+
+    report = quiet_ab(
+        fns, budget_s=budget_s, quiet_ms=1.4,
+        rows_out=_os.environ.get("QUIET_AB_ROWS", "/tmp/quiet_ab_rows.jsonl"),
+    )
     report["graphs"] = n_graphs
     import jax as _j
 
