@@ -77,27 +77,25 @@ def _best_window(run_burst, budget_s: float, iters: int, min_windows: int = 6,
     import jax
 
     windows = []
-    deadline = time.time() + budget_s
-    while len(windows) < min_windows or (
-        time.time() < deadline and len(windows) < max_windows
-    ):
+
+    def one_window(idle_s: float):
         t0 = time.perf_counter()
         out = None
         for _ in range(iters):
             out = run_burst()
         jax.block_until_ready(out)
         windows.append((time.perf_counter() - t0) / iters)
-        time.sleep(2.0)
+        time.sleep(idle_s)
+
+    deadline = time.time() + budget_s
+    while len(windows) < min_windows or (
+        time.time() < deadline and len(windows) < max_windows
+    ):
+        one_window(2.0)
     if extend_if_above_s is not None and min(windows) > extend_if_above_s:
         hard = time.time() + extend_budget_s
         while time.time() < hard and min(windows) > extend_if_above_s:
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(iters):
-                out = run_burst()
-            jax.block_until_ready(out)
-            windows.append((time.perf_counter() - t0) / iters)
-            time.sleep(1.5)
+            one_window(1.5)
     return min(windows)
 
 

@@ -61,7 +61,12 @@ def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
             )
         w += 1
 
-    base = names[0]
+    return _analyze(rows, quiet_ms, names[0])
+
+
+def _analyze(rows: list, quiet_ms: float, base: str) -> dict:
+    """Quiet-window aggregation shared by the in-run and pooled reports."""
+    names = list(rows[0]) if rows else []
     quiet = [r for r in rows if min(r.values()) < quiet_ms]
     out = {"windows": len(rows), "quiet_windows": len(quiet),
            "quiet_ms_threshold": quiet_ms, "variants": {}}
@@ -72,7 +77,7 @@ def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
         out["variants"][n] = {
             "best_ms": round(min(all_t), 4),
             "quiet_median_ms": round(float(np.median(q_t)), 4) if q_t else None,
-            "quiet_ratio_vs_first": (
+            "quiet_ratio_vs_base": (
                 round(float(np.median(ratios)), 4) if ratios else None
             ),
         }
@@ -88,21 +93,7 @@ def pooled_report(rows_path: str, quiet_ms: float, base: str) -> dict:
             r = json.loads(line)
             r.pop("order", None)
             rows.append(r)
-    quiet = [r for r in rows if min(r.values()) < quiet_ms]
-    names = list(rows[0]) if rows else []
-    out = {"windows": len(rows), "quiet_windows": len(quiet),
-           "quiet_ms_threshold": quiet_ms, "variants": {}}
-    for n in names:
-        q_t = [r[n] for r in quiet]
-        ratios = [r[n] / r[base] for r in quiet] if quiet else []
-        out["variants"][n] = {
-            "best_ms": round(min(r[n] for r in rows), 4),
-            "quiet_median_ms": round(float(np.median(q_t)), 4) if q_t else None,
-            "quiet_ratio_vs_base": (
-                round(float(np.median(ratios)), 4) if ratios else None
-            ),
-        }
-    return out
+    return _analyze(rows, quiet_ms, base)
 
 
 def main_fused_stage(budget_s: float = 2400.0, n_graphs: int = 32) -> None:
@@ -182,7 +173,15 @@ if __name__ == "__main__":
     import sys
 
     sys.path.insert(0, "/root/repo")
-    main_fused_stage(
-        float(sys.argv[1]) if len(sys.argv) > 1 else 2400.0,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 32,
-    )
+    if len(sys.argv) > 1 and sys.argv[1] == "--report":
+        if len(sys.argv) < 3:
+            sys.exit("usage: quiet_ab.py --report <rows.jsonl> [quiet_ms] [base]")
+        print(json.dumps(pooled_report(
+            sys.argv[2], quiet_ms=float(sys.argv[3]) if len(sys.argv) > 3 else 1.4,
+            base=sys.argv[4] if len(sys.argv) > 4 else "eval_xla",
+        ), indent=1))
+    else:
+        main_fused_stage(
+            float(sys.argv[1]) if len(sys.argv) > 1 else 2400.0,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+        )

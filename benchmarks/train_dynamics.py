@@ -96,9 +96,28 @@ def run(steps: int = 60, lr: float = 1e-3, decay_steps: int = 100,
     # --- reference stack: the real LitM3GNet at f64, fixed seed -------------
     lit = build_reference_litmodule(cfg, elemental, scale, seed=0)
     # nn/featurizer.py:91 allocates forward-time temporaries at the *current*
-    # default dtype, so the whole training loop runs under f64 default (same
-    # reason run_reference_efs wraps the forward).
+    # default dtype, so the whole training loop runs under f64 default —
+    # restored at the end (this run() executes inside the shared pytest
+    # process; leaking an f64 default would silently change later torch code).
+    prev_dtype = torch.get_default_dtype()
     torch.set_default_dtype(torch.float64)
+    try:
+        return _run_inner(
+            torch, jax, jnp, cfg, lit, steps, verbose,
+            train_graphs, test_graphs, elemental, scale,
+        )
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+
+def _run_inner(torch, jax, jnp, cfg, lit, steps, verbose,
+               train_graphs, test_graphs, elemental, scale):
+    from benchmarks.parity_vs_reference import map_reference_state_dict
+    from torch_m3gnet_tpu.data.graph import batch_graphs, pad_batch
+    from torch_m3gnet_tpu.models import build_model
+    from torch_m3gnet_tpu.train.loop import Trainer, TrainState, cosine_annealing_lr
+    from torch_m3gnet_tpu.utils.reference_shims import reference_blackboard_batched
+
     sd = {k: v.detach().cpu().numpy() for k, v in lit.model.state_dict().items()}
     (optimizer,), (scheduler,) = lit.configure_optimizers()
 

@@ -102,8 +102,9 @@ class M3GNetConfig:
     # the huge entity axis on the 128 lanes. "auto" resolves to fm on TPU
     # when the three-body stage is factorized (measured 0.84-0.93x of em with
     # fuse_gated_second, docs/benchmark.md round 4) and em elsewhere
-    # ("fm" requires threebody_mode="factorized"; graph parallelism re-clones
-    # to em internally). Parameter trees are layout-independent.
+    # ("fm" requires threebody_mode="factorized"; graph parallelism keeps
+    # the native layout — fm exchanges node COLUMNS via halo_exchange_fm).
+    # Parameter trees are layout-independent.
     layout: str = "auto"
 
     def replace(self, **kwargs: Any) -> "M3GNetConfig":

@@ -119,14 +119,16 @@ def graph_from_structure(
     energy = props.get("energy")
     forces = props.get("forces")
     stress = props.get("stress")
-    if forces is not None and np.asarray(forces).reshape(-1, 3).shape[0] != n:
+    if forces is not None:
         # catch stale per-atom targets early (e.g. a forces array carried
         # across a cell-size change) — downstream it would surface only as a
         # shape mismatch deep inside batch stacking
-        raise ValueError(
-            f"forces target has {np.asarray(forces).reshape(-1, 3).shape[0]} "
-            f"rows for a {n}-atom structure"
-        )
+        fsize = np.asarray(forces).size
+        if fsize != 3 * n:
+            raise ValueError(
+                f"forces target has {fsize // 3 if fsize % 3 == 0 else fsize / 3} "
+                f"rows for a {n}-atom structure"
+            )
 
     return GraphBatch(
         positions=structure.cart_coords.astype(dtype),

@@ -677,10 +677,13 @@ class GraphParallelTrainer:
     """
 
     def __init__(self, potential, config, mesh: Mesh, axis: str = "gp",
-                 dp_axis: Optional[str] = None):
+                 dp_axis: Optional[str] = None, prefetch: int = 2):
         import optax
 
         from torch_m3gnet_tpu.train.loop import TrainState, Trainer, make_optimizer
+
+        # fit-loop device-prefetch depth (0 disables), as in Trainer
+        self.prefetch = prefetch
 
         self.potential = GraphParallelPotential(potential.model, mesh, axis)
         self.config = config
@@ -704,7 +707,7 @@ class GraphParallelTrainer:
             return params, opt_state, loss
 
         self._step = jax.jit(step)
-        self._loss = jax.jit(loss_fn)
+        self._loss = loss_fn  # make_loss already returns a jitted fn
 
     def init_state(self, rng, sharded: GraphBatch):
         params = self.potential.init(rng, sharded)
@@ -749,6 +752,7 @@ class GraphParallelTrainer:
         import time
 
         from torch_m3gnet_tpu.train.loop import cosine_annealing_lr
+        from torch_m3gnet_tpu.train.prefetch import device_prefetch
 
         cfg = self.config
         max_epochs = max_epochs or cfg.max_epochs
@@ -765,10 +769,8 @@ class GraphParallelTrainer:
             )
             t0 = time.time()
             tot, cnt = 0.0, 0
-            from torch_m3gnet_tpu.train.prefetch import device_prefetch
-
             for sharded in device_prefetch(
-                train_batches(epoch), 2, device=self.batch_sharding
+                train_batches(epoch), self.prefetch, device=self.batch_sharding
             ):
                 state, m = self.train_step(state, sharded, lr)
                 tot += float(m["loss"])

@@ -41,14 +41,26 @@ def device_prefetch(
         device = jax.config.jax_default_device or jax.local_devices()[0]
 
     q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
     _END = object()
 
     def producer():
         try:
             for b in batches:
+                if stop.is_set():
+                    return
+                item = jax.device_put(b, device)
                 # device_put is async: enqueueing here starts the copy while
-                # the consumer's current step is still executing.
-                q.put(jax.device_put(b, device))
+                # the consumer's current step is still executing. Bounded
+                # puts re-check the stop flag so an abandoned consumer
+                # (exception in the step, interrupted epoch) releases the
+                # thread and its queued device buffers instead of leaking.
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as exc:  # surfaced by the consumer
             q.put(exc)
             return
@@ -56,10 +68,19 @@ def device_prefetch(
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a producer blocked between the flag checks unblocks
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

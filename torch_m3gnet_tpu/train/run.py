@@ -72,7 +72,13 @@ def train_model(
         from torch_m3gnet_tpu.data.dataset import sharded_batch_iterator
         from torch_m3gnet_tpu.parallel import DataParallel, make_mesh
 
-        per_dev = max(1, config.batch_size // n_dev)
+        if config.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size ({config.batch_size}) must be divisible by "
+                f"num_devices ({n_dev}) — a silent rewrite would change the "
+                "global batch and the optimization dynamics"
+            )
+        per_dev = config.batch_size // n_dev
         bucket = BucketSpec.for_batches(all_for_bucket, per_dev, config.pad_multiple)
         mesh = make_mesh(n_dev)
         dp = DataParallel(pot, config, mesh)
@@ -180,7 +186,13 @@ def _train_model_streaming(
     )
 
     n_dev = max(1, config.num_devices)
-    per_dev = max(1, config.batch_size // n_dev)
+    if config.batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size ({config.batch_size}) must be divisible by "
+            f"num_devices ({n_dev}) — a silent rewrite would change the "
+            "global batch and the optimization dynamics"
+        )
+    per_dev = config.batch_size // n_dev
     splits = [d for d in (train_ds, val_ds, test_ds) if d is not None]
     per_split = [d.bucket(per_dev, config.pad_multiple) for d in splits]
     bucket = BucketSpec(
