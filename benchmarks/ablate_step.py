@@ -7,11 +7,13 @@ stages removed, interleaved idle-then-burst (see :mod:`abutil`), and
 difference the medians.
 
 Variants (default 32-graph bench batch):
-  full        E+F+S step, f32, factorized three-body (the bench step)
+  full        E+F+S step, f32, factorized three-body (the bench step — on
+              TPU this resolves to the fm layout, the round-4+ default)
   conv_only   three-body stage dropped (skip_threebody)
   nb0         num_blocks=0: geometry + featurization + readout + VJP head
   energy_fwd  forward energy only (no force/stress VJP)
-  fm          full step in the feature-major layout
+  em          full step in the entity-major layout (the contrast direction
+              flipped in round 5: fm IS the default, em is the variant)
   bf16        compute_dtype=bfloat16
 
 (The O(T) gather path is not a variant here: at the 32-graph operating point
@@ -87,7 +89,7 @@ def main(n_graphs: int = 32) -> None:
         "conv_only": dict(model_kw={"skip_threebody": True}),
         "nb0": dict(kw={"num_blocks": 0}),
         "energy_fwd": dict(energy_only=True),
-        "fm": dict(kw={"layout": "fm", "threebody_mode": "factorized"}),
+        "em": dict(kw={"layout": "em", "threebody_mode": "factorized"}),
         "bf16": dict(kw={"compute_dtype": "bfloat16"}),
     }
 
@@ -110,7 +112,7 @@ def main(n_graphs: int = 32) -> None:
             "conv_blocks": round(med["conv_only"] - med["nb0"], 4),
             "fixed_geometry_readout": round(med["nb0"], 4),
             "force_stress_vjp": round(med["full"] - med["energy_fwd"], 4),
-            "fm_ratio": results["fm"]["ratio_vs_first"],
+            "em_ratio": results["em"]["ratio_vs_first"],
             "bf16_ratio": results["bf16"]["ratio_vs_first"],
         },
     }
