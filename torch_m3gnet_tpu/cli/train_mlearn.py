@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--num-workers", type=int, default=1)
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    ap.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="data-parallel devices (overrides config.num_devices)",
+    )
     args = ap.parse_args()
 
     config = (
@@ -37,6 +41,8 @@ def main() -> None:
         if args.config
         else M3GNetConfig(root=args.root)
     )
+    if args.mesh is not None:
+        config = config.replace(num_devices=args.mesh)
     os.makedirs(config.root, exist_ok=True)
 
     train_structs = load_mlearn_json(os.path.join(args.path, "training.json"))
