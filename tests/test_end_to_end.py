@@ -142,6 +142,39 @@ def test_train_mlearn_cli(tmp_path, monkeypatch, capsys):
     assert any((tmp_path / "run" / "cache").iterdir())
 
 
+def test_train_mlearn_cli_mesh(tmp_path, monkeypatch, capsys):
+    """argv-level dp path: --mesh 2 trains over a 2-device mesh (virtual CPU
+    devices from the conftest) end to end."""
+    d = _write_mlearn_dir(tmp_path)
+    cfg = {
+        "l_max": 2, "n_max": 2, "embedding_dim": 8, "num_blocks": 1,
+        "batch_size": 4, "max_epochs": 2, "learning_rate": 1e-3,
+        "early_stopping_patience": 100, "stress_weight": 0.0,
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    import yaml
+
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from torch_m3gnet_tpu.cli import train_mlearn
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "train_mlearn",
+            "--path", str(d),
+            "--config", str(cfg_path),
+            "--root", str(tmp_path / "run"),
+            "--mesh", "2",
+        ],
+    )
+    train_mlearn.main()
+    out = capsys.readouterr().out
+    result = json.loads(out[out.index("{"):])
+    assert np.isfinite(result["test"]["loss"])
+
+
 def test_cif_parser_roundtrip():
     cif = """
 data_test
