@@ -69,10 +69,12 @@ class M3GNetConfig:
     # D = 64. Default ON: paired A/B measured 0.79x step-time ratio vs the
     # split stacks at the 32-graph bench point (docs/benchmark.md round 4).
     fuse_gated_second: bool = True
-    # Fused Pallas kernels for the factorized three-body stage ("on"|"off";
-    # fm layout only): keeps the stage's (MN, E) expanded-product / gather
-    # intermediates in VMEM (ops/pallas_factorized_stage.py). Off by default
-    # pending a quiet-window A/B win (docs/benchmark.md).
+    # Fused Pallas kernels for the factorized three-body stage
+    # ("on"|"off"|"auto"; fm layout only): keeps the stage's (MN, E)
+    # expanded-product / gather intermediates in VMEM
+    # (ops/pallas_factorized_stage.py). "auto" = on for TPU+fm (where the
+    # kernels exist), still VMEM-self-gated per batch shape. Default
+    # pending the round-5 quiet-window A/B (docs/benchmark.md).
     fused_factorized: str = "off"
     # Size-class bucket ladder: >1 pads batches per size class (one XLA
     # compilation per class) — big padding-efficiency win on mixed datasets.

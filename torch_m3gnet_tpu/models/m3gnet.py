@@ -883,7 +883,14 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
         layout = "fm" if (platform == "tpu" and mode == "factorized") else "em"
     if layout == "fm" and mode != "factorized":
         raise ValueError("layout='fm' requires threebody_mode='factorized'")
-    fused_stage = getattr(config, "fused_factorized", "off") == "on"
+    fused_stage_cfg = getattr(config, "fused_factorized", "off")
+    if fused_stage_cfg == "auto":
+        # resolves with the layout: the kernels exist only in fm, and the
+        # kernel call itself still self-gates on the VMEM budget at each
+        # batch shape (m3gnet.py use_fused_stage)
+        fused_stage = layout == "fm" and platform == "tpu"
+    else:
+        fused_stage = fused_stage_cfg == "on"
     if fused_stage and layout != "fm":
         raise ValueError("fused_factorized='on' requires the fm layout")
     model = M3GNet(
