@@ -254,3 +254,24 @@ def test_fuse_gated_second_training_gradients(al_fcc, na_bcc):
     g_f = jax.grad(lambda p: loss(p, pot_f))(params)
     for a, c in zip(jax.tree.leaves(g), jax.tree.leaves(g_f)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-7, rtol=1e-5)
+
+
+def test_fused_factorized_auto_resolution():
+    """'auto' resolves with platform+layout: off on the CPU test device (the
+    kernels are TPU-only), on only for TPU+fm; 'on' outside fm errors."""
+    from torch_m3gnet_tpu.config import M3GNetConfig
+    from torch_m3gnet_tpu.models import build_model
+
+    cfg = M3GNetConfig(threebody_mode="factorized", layout="fm",
+                       fused_factorized="auto")
+    pot = build_model(cfg)
+    assert pot.model.fused_factorized_stage is False  # CPU pinned in conftest
+
+    pot_on = build_model(cfg.replace(fused_factorized="on"))
+    assert pot_on.model.fused_factorized_stage is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires the fm layout"):
+        build_model(M3GNetConfig(threebody_mode="factorized", layout="em",
+                                 fused_factorized="on"))
