@@ -72,10 +72,12 @@ class M3GNetConfig:
     # Fused Pallas kernels for the factorized three-body stage
     # ("on"|"off"|"auto"; fm layout only): keeps the stage's (MN, E)
     # expanded-product / gather intermediates in VMEM
-    # (ops/pallas_factorized_stage.py). "auto" = on for TPU+fm (where the
-    # kernels exist), still VMEM-self-gated per batch shape. Default
-    # pending the round-5 quiet-window A/B (docs/benchmark.md).
-    fused_factorized: str = "off"
+    # (ops/pallas_factorized_stage.py). "auto" (default since round 5) = on
+    # for TPU+fm, still VMEM-self-gated per batch shape: three independent
+    # quiet windows measured the eval step at 0.73-0.87x with the kernels
+    # (train neutral), and the 559-window contention-compressed median
+    # agreed directionally (docs/benchmark.md round 5).
+    fused_factorized: str = "auto"
     # Size-class bucket ladder: >1 pads batches per size class (one XLA
     # compilation per class) — big padding-efficiency win on mixed datasets.
     bucket_classes: int = 1
