@@ -121,3 +121,62 @@ def test_temperature_dof_com_correction(pot_params):
         n = len(res.structures[0])
         want = 2.0 * res.kinetic / (dof_of(n) * KB)
         np.testing.assert_allclose(res.temperatures, want, rtol=1e-6)
+
+
+def test_npt_barostat_control_law(pot_params):
+    """Berendsen barostat feedback: after one step the volume moves in the
+    direction of sign(P_int - target) (mu = [1 - k(P0 - P)]^(1/3)), the
+    pressure/volume logs have the right shapes, and the mu clamp bounds the
+    per-step volume change even under an absurd coupling."""
+    pot, params, s = pot_params
+    v0 = s.volume
+
+    cfg = MDConfig(
+        ensemble="npt", n_steps=1, dt=1.0, temperature=0.0, friction=0.01,
+        pressure=0.0, tau_p=200.0, compressibility=1e-2, seed=3,
+        rebuild_every=10,
+    )
+    res = run_md(pot, params, [s], 5.0, 4.0, cfg,
+                 velocities=[np.zeros((4, 3))], pad_multiple=64,
+                 dtype=np.float64)
+    assert res.pressures.shape == (1, 1) and res.volumes.shape == (1, 1)
+    p_int = float(res.pressures[0, 0])
+    v1 = float(res.volumes[0, 0])
+    assert p_int != 0.0
+    if p_int > cfg.pressure:
+        assert v1 > v0  # too much internal pressure -> expand
+    else:
+        assert v1 < v0
+    # final structure carries the updated cell
+    assert abs(res.structures[0].volume - v1) / v1 < 1e-10
+
+    # clamp: mu in [0.98, 1.02] regardless of coupling strength
+    cfg2 = MDConfig(
+        ensemble="npt", n_steps=1, dt=1.0, temperature=0.0, friction=0.01,
+        pressure=0.0, tau_p=1.0, compressibility=1e6, seed=3,
+        rebuild_every=10,
+    )
+    res2 = run_md(pot, params, [s], 5.0, 4.0, cfg2,
+                  velocities=[np.zeros((4, 3))], pad_multiple=64,
+                  dtype=np.float64)
+    ratio = float(res2.volumes[0, 0]) / v0
+    assert 0.98 ** 3 - 1e-9 <= ratio <= 1.02 ** 3 + 1e-9
+
+
+def test_npt_runs_and_tracks_target(pot_params):
+    """A short NPT run drives |P_int - target| down (weak-coupling feedback
+    on the analytic virial) and keeps volumes finite across neighbor-list
+    rebuilds."""
+    pot, params, s = pot_params
+    cfg = MDConfig(
+        ensemble="npt", n_steps=24, dt=1.0, temperature=50.0, friction=0.05,
+        pressure=0.0, tau_p=50.0, compressibility=1e-2, seed=4,
+        rebuild_every=8,
+    )
+    res = run_md(pot, params, [s], 5.0, 4.0, cfg, pad_multiple=64,
+                 dtype=np.float64)
+    assert res.pressures.shape == (24, 1)
+    assert np.isfinite(res.volumes).all() and (res.volumes > 0).all()
+    p = np.abs(res.pressures[:, 0] - cfg.pressure)
+    # feedback reduces the pressure error (compare first vs last quarter)
+    assert p[-6:].mean() < p[:6].mean()

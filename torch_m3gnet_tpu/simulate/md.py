@@ -14,6 +14,11 @@ Integrators
 - **NVT**: Langevin dynamics with the BAOAB splitting (Leimkuhler & Matthews,
   J. Chem. Phys. 138, 174102 (2013)) — superconvergent configurational
   sampling, still one force evaluation per step.
+- **NPT**: the NVT-Langevin thermostat plus a Berendsen barostat
+  (Berendsen et al., J. Chem. Phys. 81, 3684 (1984)): per-graph isotropic
+  cell/coordinate rescaling toward the target pressure using the analytic
+  virial stress the potential already returns — the cell is dynamic state
+  threaded through the jitted loop.
 
 Units: positions in Angstrom, time in fs, energies in eV, masses in amu,
 temperature in K. ``FORCE_TO_ACC`` converts eV/A/amu -> A/fs^2.
@@ -41,6 +46,7 @@ from torch_m3gnet_tpu.ops.segment import segment_sum
 KB = 8.617333262e-5  # Boltzmann constant, eV/K
 FORCE_TO_ACC = 9.648533212e-3  # (eV/A) / amu  ->  A/fs^2
 KE_TO_EV = 103.642696562  # amu A^2/fs^2 -> eV
+EV_A3_TO_GPA = 160.21766208  # eV/A^3 -> GPa
 
 # Standard atomic weights (amu), index = atomic number Z (0 unused); Z <= 94.
 # CODATA/IUPAC conventional values; radioactive elements use the most stable
@@ -67,8 +73,14 @@ ATOMIC_MASSES = np.array(
 class MDConfig:
     """MD run parameters.
 
-    ``ensemble``: "nve" (velocity Verlet) or "nvt" (Langevin BAOAB).
-    ``friction``: Langevin friction gamma in 1/fs (only for nvt).
+    ``ensemble``: "nve" (velocity Verlet), "nvt" (Langevin BAOAB), or
+    "npt" (Langevin BAOAB + Berendsen barostat).
+    ``friction``: Langevin friction gamma in 1/fs (nvt/npt).
+    ``pressure``: barostat target in GPa (npt).
+    ``tau_p``: barostat time constant in fs; ``compressibility`` is the
+    isothermal compressibility in 1/GPa (the Berendsen mu-factor uses
+    compressibility * dt / tau_p; 4.57e-2/GPa is liquid-water-like, solids
+    are ~1e-2-1e-3 — the coupling strength, not a material property here).
     """
 
     dt: float = 1.0  # fs
@@ -76,6 +88,9 @@ class MDConfig:
     ensemble: str = "nve"
     temperature: float = 300.0  # K (NVT target / velocity init)
     friction: float = 0.01  # 1/fs
+    pressure: float = 0.0  # GPa (npt target)
+    tau_p: float = 500.0  # fs
+    compressibility: float = 1e-2  # 1/GPa
     rebuild_every: int = 20
     skin: float = 0.3  # A; topology valid while no atom moves > skin/2
     seed: int = 0
@@ -84,7 +99,7 @@ class MDConfig:
     record_trajectory: bool = False
 
     def __post_init__(self):
-        if self.ensemble not in ("nve", "nvt"):
+        if self.ensemble not in ("nve", "nvt", "npt"):
             raise ValueError(f"unknown ensemble: {self.ensemble}")
 
 
@@ -98,6 +113,10 @@ class MDResult:
     # per-structure (n_frames, n_i, 3) unwrapped positions when
     # record_trajectory is set, else None
     trajectories: Optional[list] = None
+    # npt only: per-step internal pressure (n_frames, B) GPa and cell
+    # volume (n_frames, B) A^3
+    pressures: Optional[np.ndarray] = None
+    volumes: Optional[np.ndarray] = None
 
 
 def maxwell_boltzmann_velocities(
@@ -122,6 +141,7 @@ def _md_inner(
     """
     dtype = jnp.asarray(batch.positions).dtype
     nmask = jnp.asarray(batch.node_mask, dtype=dtype)[:, None]
+    gmask = jnp.asarray(batch.graph_mask, dtype=dtype)
     node_graph = jnp.asarray(batch.node_graph)
     nb = batch.num_graphs
     masses = jnp.asarray(ATOMIC_MASSES, dtype=dtype)[
@@ -129,12 +149,14 @@ def _md_inner(
     ]  # atom_types are 0-indexed Z (Z-1)
     masses = jnp.where(jnp.asarray(batch.node_mask), masses, 1.0)[:, None]
 
-    def forces_energy(pos):
-        out = potential.apply(params, batch.replace(positions=pos))
-        return out.forces, out.energy
+    def forces_energy(pos, lat):
+        out = potential.apply(
+            params, batch.replace(positions=pos, lattice=lat)
+        )
+        return out.forces, out.energy, out.stress
 
     dt = cfg.dt
-    if cfg.ensemble == "nvt":
+    if cfg.ensemble in ("nvt", "npt"):
         # BAOAB O-step coefficients (exact OU solution)
         c1 = jnp.exp(-cfg.friction * dt)
         # thermal velocity^2 in (A/fs)^2 per unit mass
@@ -146,14 +168,14 @@ def _md_inner(
         return segment_sum(ke_i, node_graph, nb)  # (B,)
 
     def body(i, state):
-        pos, vel, f, key, e_log, ke_log, p_log = state
+        pos, vel, lat, f, key, e_log, ke_log, p_log, press_log, vol_log = state
         acc = f / masses * FORCE_TO_ACC  # A/fs^2
 
         if cfg.ensemble == "nve":
             # velocity Verlet: v(t+dt/2), x(t+dt), F(t+dt), v(t+dt)
             vel = vel + 0.5 * dt * acc
             pos = pos + dt * vel * nmask
-            f_new, e_pot = forces_energy(pos)
+            f_new, e_pot, stress = forces_energy(pos, lat)
             acc_new = f_new / masses * FORCE_TO_ACC
             vel = vel + 0.5 * dt * acc_new
         else:
@@ -165,33 +187,59 @@ def _md_inner(
             sigma = jnp.sqrt(kT / masses * (1.0 - c1 * c1))
             vel = c1 * vel + sigma * noise
             pos = pos + 0.5 * dt * vel * nmask
-            f_new, e_pot = forces_energy(pos)
+            f_new, e_pot, stress = forces_energy(pos, lat)
             acc_new = f_new / masses * FORCE_TO_ACC
             vel = vel + 0.5 * dt * acc_new
+
+        if cfg.ensemble == "npt":
+            # Berendsen barostat: isotropic per-graph rescale toward the
+            # target. P_int = -tr(sigma)/3 (the potential's analytic virial);
+            # mu > 1 expands when P_int > target. The mu clamp is the
+            # standard stability guard against spikes early in equilibration.
+            p_int = (
+                -(stress[:, 0] + stress[:, 1] + stress[:, 2]) / 3.0
+            ) * EV_A3_TO_GPA  # (B,) GPa
+            base = 1.0 - (cfg.compressibility * dt / cfg.tau_p) * (
+                cfg.pressure - p_int
+            )
+            # clamp BEFORE the cube root: a violent pressure spike can push
+            # the base negative, and fractional powers of negatives are NaN
+            mu = jnp.clip(base, 0.98**3, 1.02**3) ** (1.0 / 3.0)
+            mu = jnp.where(jnp.asarray(batch.graph_mask), mu, 1.0)  # pads
+            lat = lat * mu[:, None, None]
+            pos = pos * mu[node_graph][:, None]
+            press_log = press_log.at[i].set(p_int * gmask)
+            vol_log = vol_log.at[i].set(
+                jnp.abs(jnp.linalg.det(lat)) * gmask
+            )
 
         vel = vel * nmask
         e_log = e_log.at[i].set(e_pot)
         ke_log = ke_log.at[i].set(kinetic_of(vel))
         if cfg.record_trajectory:
             p_log = p_log.at[i].set(pos)
-        return pos, vel, f_new, key, e_log, ke_log, p_log
+        return pos, vel, lat, f_new, key, e_log, ke_log, p_log, press_log, vol_log
 
     pos0 = jnp.asarray(batch.positions)
+    lat0 = jnp.asarray(batch.lattice, dtype=pos0.dtype)
     vel0 = jnp.asarray(vel0, dtype=pos0.dtype)
-    f0, _ = forces_energy(pos0)
+    f0, _, _ = forces_energy(pos0, lat0)
     key0 = jnp.asarray(key0, dtype=jnp.uint32)
     # trajectory log only materializes when recording (dummy 0-size otherwise)
     p_shape = (n_steps,) + pos0.shape if cfg.record_trajectory else (0, 0, 3)
+    npt_shape = (n_steps, nb) if cfg.ensemble == "npt" else (0, 0)
     state0 = (
-        pos0, vel0, f0, key0,
+        pos0, vel0, lat0, f0, key0,
         jnp.zeros((n_steps, nb), pos0.dtype),
         jnp.zeros((n_steps, nb), pos0.dtype),
         jnp.zeros(p_shape, pos0.dtype),
+        jnp.zeros(npt_shape, pos0.dtype),
+        jnp.zeros(npt_shape, pos0.dtype),
     )
-    pos, vel, _, key, e_log, ke_log, p_log = jax.lax.fori_loop(
-        0, n_steps, body, state0
+    (pos, vel, lat, _, key, e_log, ke_log, p_log, press_log, vol_log) = (
+        jax.lax.fori_loop(0, n_steps, body, state0)
     )
-    return pos, vel, e_log, ke_log, key, p_log
+    return pos, vel, lat, e_log, ke_log, key, p_log, press_log, vol_log
 
 
 def run_md(
@@ -231,8 +279,9 @@ def run_md(
     )
 
     positions = [s.cart_coords.copy() for s in structures]
+    lattices = [s.lattice.copy() for s in structures]
     n_outer = (config.n_steps + config.rebuild_every - 1) // config.rebuild_every
-    e_all, ke_all, traj_all = [], [], []
+    e_all, ke_all, traj_all, press_all, vol_all = [], [], [], [], []
     key = np.asarray(jax.random.PRNGKey(config.seed), dtype=np.uint32)
     nsys = len(structures)
 
@@ -240,12 +289,12 @@ def run_md(
         n_steps = min(config.rebuild_every, config.n_steps - outer * config.rebuild_every)
         graphs = [
             graph_from_structure(
-                Structure(s.lattice, p, s.atomic_numbers),
+                Structure(lat, p, s.atomic_numbers),
                 cutoff + config.skin,
                 threebody_cutoff,
                 dtype=dtype,
             )
-            for s, p in zip(structures, positions)
+            for s, p, lat in zip(structures, positions, lattices)
         ]
         cat = batch_graphs(graphs)
         batch = pad_batch(
@@ -259,19 +308,25 @@ def run_md(
         vel_pad = np.zeros((batch.num_nodes, 3))
         vel_pad[: len(vel_cat)] = vel_cat
 
-        pos, vel, e_log, ke_log, key, p_log = inner(batch, vel_pad, key, n_steps)
-        pos, vel = np.asarray(pos), np.asarray(vel)
+        pos, vel, lat, e_log, ke_log, key, p_log, press_log, vol_log = inner(
+            batch, vel_pad, key, n_steps
+        )
+        pos, vel, lat = np.asarray(pos), np.asarray(vel), np.asarray(lat)
         key = np.asarray(key, dtype=np.uint32)
         e_all.append(np.asarray(e_log)[:, :nsys])
         ke_all.append(np.asarray(ke_log)[:, :nsys])
         if config.record_trajectory:
             traj_all.append(np.asarray(p_log))
+        if config.ensemble == "npt":
+            press_all.append(np.asarray(press_log)[:, :nsys])
+            vol_all.append(np.asarray(vol_log)[:, :nsys])
 
         off = 0
         for i, g in enumerate(graphs):
             n = g.num_nodes
             positions[i] = pos[off : off + n]
             velocities[i] = vel[off : off + n]
+            lattices[i] = lat[i]
             off += n
 
     energies = np.concatenate(e_all, axis=0)
@@ -283,10 +338,10 @@ def run_md(
     temperatures = 2.0 * kinetic / (dof * KB)
     final = [
         Structure(
-            s.lattice, p, s.atomic_numbers,
+            lat, p, s.atomic_numbers,
             {**s.properties, "velocities": v},
         )
-        for s, p, v in zip(structures, positions, velocities)
+        for s, p, v, lat in zip(structures, positions, velocities, lattices)
     ]
     trajectories = None
     if config.record_trajectory:
@@ -304,4 +359,8 @@ def run_md(
         temperatures=temperatures,
         times=np.arange(1, config.n_steps + 1) * config.dt,
         trajectories=trajectories,
+        pressures=(
+            np.concatenate(press_all, axis=0) if press_all else None
+        ),
+        volumes=np.concatenate(vol_all, axis=0) if vol_all else None,
     )
