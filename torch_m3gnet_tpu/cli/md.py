@@ -23,9 +23,11 @@ def main() -> None:
     ap.add_argument("--structures", required=True, help="JSON list of structures")
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir (tag 'best')")
     ap.add_argument("--config", default=None, help="YAML config for the model")
-    ap.add_argument("--ensemble", choices=("nve", "nvt"), default="nvt")
+    ap.add_argument("--ensemble", choices=("nve", "nvt", "npt"), default="nvt")
     ap.add_argument("--temperature", type=float, default=300.0, help="K")
     ap.add_argument("--friction", type=float, default=0.01, help="Langevin gamma, 1/fs")
+    ap.add_argument("--pressure", type=float, default=0.0, help="NPT target, GPa")
+    ap.add_argument("--tau-p", type=float, default=500.0, help="barostat tau, fs")
     ap.add_argument("--dt", type=float, default=1.0, help="fs")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--rebuild-every", type=int, default=20)
@@ -89,6 +91,8 @@ def main() -> None:
             ensemble=args.ensemble,
             temperature=args.temperature,
             friction=args.friction,
+            pressure=args.pressure,
+            tau_p=args.tau_p,
             rebuild_every=args.rebuild_every,
             seed=args.seed,
             record_trajectory=args.traj_out is not None,
