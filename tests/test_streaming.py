@@ -230,3 +230,44 @@ def test_train_model_streaming_with_bucket_ladder(tmp_path):
         test_graphs=mk(4, "test", 10),
     )
     assert state.epoch >= 1 and np.isfinite(metrics["energy_mae"])
+
+
+def test_host_shard_view_partitions_dataset(tmp_path):
+    """HostShardView: per-host shard strides partition the dataset exactly
+    (every graph on exactly one host), the view's index arrays match its
+    graphs, and iteration/bucketing work through the shared machinery."""
+    from torch_m3gnet_tpu.data.streaming import HostShardView
+
+    structs = _structures(23, seed=21)
+    ds = StreamingGraphDataset(
+        structs, CUTOFF, CUTOFF3, cache_dir=str(tmp_path), shard_size=5
+    )
+    views = [HostShardView(ds, h, 2) for h in range(2)]
+    assert views[0].shard_ids == [0, 2, 4]
+    assert views[1].shard_ids == [1, 3]
+    assert len(views[0]) + len(views[1]) == len(ds)
+
+    want = sorted(float(s.properties["energy"]) for s in structs)
+    got = sorted(
+        float(g.energy[0]) for v in views for g in v.iter_graphs()
+    )
+    assert got == pytest.approx(want)
+
+    # index arrays line up with the iterated graphs, in order
+    for v in views:
+        es = [float(g.energy[0]) for g in v.iter_graphs()]
+        np.testing.assert_allclose(es, v.energies, rtol=1e-6)
+        b = v.bucket(4, pad_multiple=32)
+        assert b.max_triplets >= int(np.sort(v.sizes_t)[::-1][:4].sum())
+
+    # streaming elemental fit works on a view (per-host normalization input)
+    coeffs, scale = fit_elemental_energies_streaming(views[0])
+    assert np.isfinite(scale) and np.isfinite(coeffs).all()
+
+    # a view feeds the dp stream machinery unchanged
+    from torch_m3gnet_tpu.data.streaming import stream_sharded_batches
+
+    bucket = ds.bucket(3, pad_multiple=32)  # full-index bucket valid per host
+    batches = list(stream_sharded_batches(views[0], 3, 2, bucket))
+    total = sum(int(np.asarray(b.graph_mask).sum()) for b in batches)
+    assert total == len(views[0])

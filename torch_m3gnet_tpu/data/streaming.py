@@ -353,6 +353,56 @@ def stream_batches(
         )
 
 
+class HostShardView:
+    """Per-host view of a streaming dataset: shards ``host_id::num_hosts``.
+
+    The multi-host composition of the streaming axis (parallel/distributed.py):
+    every host opens the SAME shard cache and iterates a disjoint stride of
+    shards, feeding only the dp shards that live on its own devices
+    (host_local_to_global assembles the global batch). ``len``, the index
+    arrays, ``bucket`` and the streaming elemental fit all reflect only the
+    viewed graphs, so per-host ladders stay consistent with what the host
+    actually feeds — while bucket/ladder parameters built from the FULL
+    index (the parent dataset) remain valid for every host because each
+    class bucket is a worst-case over a superset.
+    """
+
+    def __init__(self, ds: StreamingGraphDataset, host_id: int, num_hosts: int):
+        if not (0 <= host_id < num_hosts):
+            raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
+        self.ds = ds
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.shard_ids = list(range(host_id, ds.n_shards, num_hosts))
+        n = len(ds)
+        starts = [s * ds.shard_size for s in self.shard_ids]
+        stops = [min(st + ds.shard_size, n) for st in starts]
+        sel = (
+            np.concatenate([np.arange(a, b) for a, b in zip(starts, stops)])
+            if self.shard_ids
+            else np.zeros(0, np.int64)
+        )
+        self._sel = sel
+        self.sizes_n = ds.sizes_n[sel]
+        self.sizes_e = ds.sizes_e[sel]
+        self.sizes_t = ds.sizes_t[sel]
+        self.energies = ds.energies[sel]
+        self.species = ds.species[sel]
+        self.meta = ds.meta
+        self.shard_size = ds.shard_size
+        self.n_shards = len(self.shard_ids)
+
+    def __len__(self) -> int:
+        return int(self._sel.size)
+
+    def load_shard(self, i: int) -> list[GraphBatch]:
+        return self.ds.load_shard(self.shard_ids[i])
+
+    # shares the iteration/bucket machinery via duck typing
+    iter_graphs = StreamingGraphDataset.iter_graphs
+    bucket = StreamingGraphDataset.bucket
+
+
 def stream_sharded_batches(
     ds: StreamingGraphDataset,
     per_device_batch: int,
