@@ -198,6 +198,10 @@ def main() -> None:
                     "train_step_ms": round(dt_train * 1e3, 3),
                     "train_rate": round(train_rate, 1),
                     "train_to_eval_ratio": round(dt_train / dt, 3),
+                    "layout": pot.model.layout,
+                    "fused_factorized_stage": bool(
+                        pot.model.fused_factorized_stage
+                    ),
                     "device": str(jax.devices()[0]),
                 },
             }
