@@ -1,8 +1,12 @@
 """A/B: fused factorized-stage Pallas kernels vs the XLA fm stage.
 
-Both variants run the round-4 defaults (fm layout + fuse_gated_second);
-the candidate adds fused_factorized="on". Paired round-robin protocol at
-the 32-graph bench point; prints one JSON object.
+Both variants run fm layout + fuse_gated_second; the candidate adds
+fused_factorized="on". Paired round-robin protocol at the 32-graph bench
+point; prints one JSON object. NOTE: since round 5 the kernels are the
+DEFAULT (fused_factorized="auto" on TPU+fm) — the decisive evidence came
+from the contention-filtered protocol in benchmarks/quiet_ab.py, which
+supersedes this fixed-length A/B inside contention epochs
+(docs/benchmark.md round 5).
 """
 
 from __future__ import annotations
