@@ -36,7 +36,11 @@ def main(n_graphs: int = 32, windows: int = 40) -> None:
 
     batch = build_batch(n_graphs=n_graphs)
     variants = {
-        "xla_stage": M3GNetConfig(threebody_mode="factorized", layout="fm"),
+        # "off" pinned explicitly: the default is "auto" (-> on for TPU+fm)
+        # since round 5, which would silently make both variants fused
+        "xla_stage": M3GNetConfig(
+            threebody_mode="factorized", layout="fm", fused_factorized="off"
+        ),
         "fused_stage": M3GNetConfig(
             threebody_mode="factorized", layout="fm", fused_factorized="on"
         ),

@@ -51,8 +51,11 @@ def main(budget_s: float = 600.0) -> None:
         fns[f"g{n}"] = (jax.jit(step), (params, batch))
         print(f"[probe] compiled g{n}", file=sys.stderr, flush=True)
 
-    # quiet threshold scaled for the 64-graph step (~2x the 32-graph floor)
-    report = quiet_ab(fns, budget_s=budget_s, quiet_ms=2.6, iters=6)
+    # quiet filter keys on the BASE (32-graph) variant: the two variants
+    # have different intrinsic costs, so a min()-based filter would always
+    # key on the cheap one and admit contended windows (review finding).
+    report = quiet_ab(fns, budget_s=budget_s, quiet_ms=1.4, iters=6,
+                      quiet_on="base")
     for name, v in report["variants"].items():
         v["items"] = items[name]
         v["best_rate_Bps"] = round(items[name] / v["best_ms"] / 1e6, 3)

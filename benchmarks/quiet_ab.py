@@ -23,12 +23,18 @@ import numpy as np
 
 def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
              idle_s: float = 1.5, verbose: bool = True,
-             rows_out: str | None = None) -> dict:
+             rows_out: str | None = None, quiet_on: str = "min") -> dict:
     """fns: {name: (fn, args)}. First entry is the ratio base.
 
     ``rows_out``: append every window's times as a JSON line — quiet windows
     are rare inside long contention epochs, so evidence pools across runs
     (analyze with :func:`pooled_report`).
+
+    ``quiet_on``: which time the quiet filter keys on — "min" (any variant
+    beats the threshold; right when all variants share a scale) or "base"
+    (the first variant must beat it; right when variants differ in intrinsic
+    cost, e.g. different batch sizes, where min() would always pick the
+    cheap one and admit contended windows).
     """
     import jax
 
@@ -61,13 +67,17 @@ def quiet_ab(fns: dict, budget_s: float, quiet_ms: float, iters: int = 6,
             )
         w += 1
 
-    return _analyze(rows, quiet_ms, names[0])
+    return _analyze(rows, quiet_ms, names[0], quiet_on=quiet_on)
 
 
-def _analyze(rows: list, quiet_ms: float, base: str) -> dict:
+def _analyze(rows: list, quiet_ms: float, base: str,
+             quiet_on: str = "min") -> dict:
     """Quiet-window aggregation shared by the in-run and pooled reports."""
     names = list(rows[0]) if rows else []
-    quiet = [r for r in rows if min(r.values()) < quiet_ms]
+    if quiet_on == "base":
+        quiet = [r for r in rows if r[base] < quiet_ms]
+    else:
+        quiet = [r for r in rows if min(r.values()) < quiet_ms]
     out = {"windows": len(rows), "quiet_windows": len(quiet),
            "quiet_ms_threshold": quiet_ms, "variants": {}}
     for n in names:
@@ -126,8 +136,10 @@ def main_fused_stage(budget_s: float = 2400.0, n_graphs: int = 32) -> None:
     lr = jnp.asarray(1e-3)
 
     fns = {}
+    # "off" pinned explicitly on the XLA baselines: the default is "auto"
+    # (-> on for TPU+fm) since round 5
     for name, cfg in {
-        "eval_xla": M3GNetConfig(),
+        "eval_xla": M3GNetConfig(fused_factorized="off"),
         "eval_fused": M3GNetConfig(fused_factorized="on", layout="fm",
                                    threebody_mode="factorized"),
         "train_xla": None,
@@ -144,7 +156,7 @@ def main_fused_stage(budget_s: float = 2400.0, n_graphs: int = 32) -> None:
             fns[name] = (jax.jit(step), (params, batch))
         else:
             cfg = (
-                M3GNetConfig() if name == "train_xla"
+                M3GNetConfig(fused_factorized="off") if name == "train_xla"
                 else M3GNetConfig(fused_factorized="on", layout="fm",
                                   threebody_mode="factorized")
             )

@@ -79,12 +79,20 @@ def main(budget_s: float, rows_out: str) -> None:
 
         @jax.jit
         def step(params, b):
-            return jax.value_and_grad(lambda p: loss_fn(p, b))(params)[0]
+            # return the grads too: a discarded grad output would let XLA
+            # dead-code-eliminate the whole backward pass and this variant
+            # would time a forward-only evaluation (review finding)
+            loss, grads = jax.value_and_grad(lambda p: loss_fn(p, b))(params)
+            return loss, grads
 
         params = pot.init(jax.random.PRNGKey(0), train_batch)
         fns[name] = (step, (params, train_batch))
 
-    base = M3GNetConfig()
+    # fused_factorized defaults to "auto" (-> ON for TPU+fm) since the
+    # round-5 flip: the XLA baseline must pin "off" explicitly or this A/B
+    # silently compares fused vs fused. (The recorded round-5 evidence runs
+    # predate the flip and measured the true contrast.)
+    base = M3GNetConfig(fused_factorized="off")
     fused = M3GNetConfig(fused_factorized="on", layout="fm",
                          threebody_mode="factorized")
     add_eval("eval_xla", base)

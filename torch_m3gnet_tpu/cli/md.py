@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--friction", type=float, default=0.01, help="Langevin gamma, 1/fs")
     ap.add_argument("--pressure", type=float, default=0.0, help="NPT target, GPa")
     ap.add_argument("--tau-p", type=float, default=500.0, help="barostat tau, fs")
+    ap.add_argument("--compressibility", type=float, default=1e-2,
+                    help="barostat coupling, 1/GPa")
     ap.add_argument("--dt", type=float, default=1.0, help="fs")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--rebuild-every", type=int, default=20)
@@ -93,6 +95,7 @@ def main() -> None:
             friction=args.friction,
             pressure=args.pressure,
             tau_p=args.tau_p,
+            compressibility=args.compressibility,
             rebuild_every=args.rebuild_every,
             seed=args.seed,
             record_trajectory=args.traj_out is not None,
@@ -103,9 +106,17 @@ def main() -> None:
         from torch_m3gnet_tpu.simulate import write_extxyz
 
         for i, (s, traj) in enumerate(zip(structures, res.trajectories)):
+            lattices = None
+            if res.volumes is not None:
+                # NPT: the barostat scaling is isotropic per graph, so the
+                # per-frame cell is the initial cell scaled by (V_t/V_0)^(1/3)
+                v0 = abs(np.linalg.det(s.lattice))
+                mu = (res.volumes[:, i] / v0) ** (1.0 / 3.0)
+                lattices = s.lattice[None] * mu[:, None, None]
             write_extxyz(
                 f"{args.traj_out}.{i}.extxyz", s, traj,
                 energies=res.energies[:, i], times=res.times,
+                lattices=lattices,
             )
     out = {
         "structures": [
@@ -122,6 +133,9 @@ def main() -> None:
         "kinetic_energy_ev": res.kinetic.tolist(),
         "temperature_k": res.temperatures.tolist(),
     }
+    if res.pressures is not None:
+        out["pressure_gpa"] = res.pressures.tolist()
+        out["volume_a3"] = res.volumes.tolist()
     print(json.dumps(out))
 
 

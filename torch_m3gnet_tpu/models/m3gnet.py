@@ -884,6 +884,10 @@ def build_model(config, elemental_energies=None, energy_scale: float = 1.0,
     if layout == "fm" and mode != "factorized":
         raise ValueError("layout='fm' requires threebody_mode='factorized'")
     fused_stage_cfg = getattr(config, "fused_factorized", "off")
+    if fused_stage_cfg not in ("on", "off", "auto"):
+        # a YAML typo silently resolving to "off" would shed the default
+        # perf win with no error (matches the threebody_mode precedent)
+        raise ValueError(f"unknown fused_factorized: {fused_stage_cfg!r}")
     if fused_stage_cfg == "auto":
         # resolves with the layout: the kernels exist only in fm, and the
         # kernel call itself still self-gates on the VMEM budget at each

@@ -91,8 +91,14 @@ def write_extxyz(
     velocities: Optional[Sequence[np.ndarray]] = None,
     energies: Optional[Sequence[float]] = None,
     times: Optional[Sequence[float]] = None,
+    lattices: Optional[Sequence[np.ndarray]] = None,
 ) -> None:
-    """Write a trajectory as ASE-compatible extended XYZ (one block per frame)."""
+    """Write a trajectory as ASE-compatible extended XYZ (one block per frame).
+
+    ``lattices``: optional per-frame (3, 3) cells for runs where the cell
+    evolves (NPT — the barostat rescales it every step); defaults to the
+    input structure's fixed cell.
+    """
     close = False
     if isinstance(fileobj, str):
         fileobj = open(fileobj, "w")
@@ -100,12 +106,19 @@ def write_extxyz(
     try:
         z = np.asarray(structure.atomic_numbers)
         species = [SYMBOLS[int(zi)] for zi in z]
-        lat = " ".join(f"{x:.10g}" for x in np.asarray(structure.lattice).ravel())
+        lat_fixed = " ".join(
+            f"{x:.10g}" for x in np.asarray(structure.lattice).ravel()
+        )
         for i, pos in enumerate(frames):
             pos = np.asarray(pos)
             props = "species:S:1:pos:R:3"
             if velocities is not None:
                 props += ":vel:R:3"
+            lat = (
+                " ".join(f"{x:.10g}" for x in np.asarray(lattices[i]).ravel())
+                if lattices is not None
+                else lat_fixed
+            )
             header = f'Lattice="{lat}" Properties={props} pbc="T T T"'
             if energies is not None:
                 header += f" energy={float(energies[i]):.10g}"
